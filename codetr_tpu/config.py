@@ -1,0 +1,259 @@
+"""Typed configuration system for codetr_tpu.
+
+The reference uses mmengine python-dict configs with ``_base_`` inheritance and
+string-typed registry dispatch (reference: configs/co_dino_5scale_r50_lsj_8xb2_1x_coco.py,
+configs/co_dino_5scale_swin_l_16xb1_16e_o365tococo.py, consumed via
+``Config.fromfile`` at codetr/codetr.py:153).  The TPU build replaces that open
+registry with closed, typed dataclasses: every knob that the reference's
+*inference path* reads appears here; training-only sub-configs (rpn_head,
+roi_head, bbox_head, loss cfgs) are intentionally dropped because the
+reference's CoDETR class ignores them too (codetr/codetr.py:51-64).
+
+A thin python-dict config loader with ``_base_`` / ``_delete_`` semantics lives
+in codetr_tpu.utils.config_loader for parity with ``Config.fromfile``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class SwinConfig:
+    """Swin Transformer backbone config (reference: codetr/swin.py:512-538,
+    Swin-L values from configs/co_dino_5scale_swin_l_16xb1_16e_o365tococo.py:8-28)."""
+
+    pretrain_img_size: int = 384
+    in_channels: int = 3
+    embed_dims: int = 192
+    patch_size: int = 4
+    window_size: int = 12
+    mlp_ratio: int = 4
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    strides: Tuple[int, ...] = (4, 2, 2, 2)
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    patch_norm: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.3  # inference path: inert (eval mode)
+    use_abs_pos_embed: bool = False
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.depths)
+
+    @property
+    def num_features(self) -> Tuple[int, ...]:
+        return tuple(int(self.embed_dims * 2**i) for i in range(self.num_layers))
+
+
+@dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet backbone config (reference config: co_dino_5scale_r50_lsj:30-39;
+    the reference delegates to mmdet's ResNet — re-implemented from scratch here)."""
+
+    depth: int = 50
+    in_channels: int = 3
+    stem_channels: int = 64
+    base_channels: int = 64
+    num_stages: int = 4
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    # torchvision/mmdet "pytorch" style: stride-2 on the 3x3 conv of each block
+    style: str = "pytorch"
+
+    @property
+    def stage_blocks(self) -> Tuple[int, ...]:
+        return {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+
+    @property
+    def num_features(self) -> Tuple[int, ...]:
+        return tuple(self.base_channels * 4 * 2**i for i in range(self.num_stages))
+
+
+@dataclass(frozen=True)
+class NeckConfig:
+    """ChannelMapper neck (reference config co_dino_5scale_r50_lsj:40-47; the
+    reference builds mmdet's ChannelMapper from the registry, codetr/codetr.py:54)."""
+
+    in_channels: Tuple[int, ...] = (192, 384, 768, 1536)
+    out_channels: int = 256
+    kernel_size: int = 1
+    num_outs: int = 5
+    num_groups: int = 32  # GroupNorm groups
+
+
+@dataclass(frozen=True)
+class PositionalEncodingConfig:
+    """SinePositionalEncoding (reference: codetr/positional_encoding.py:36-56,
+    values from config co_dino_5scale_r50_lsj:102-106)."""
+
+    num_feats: int = 128
+    temperature: float = 20.0
+    normalize: bool = True
+    scale: float = 6.283185307179586  # 2*pi
+    eps: float = 1e-6
+    offset: float = 0.0
+
+
+@dataclass(frozen=True)
+class MSDAConfig:
+    """MultiScaleDeformableAttention (reference:
+    codetr/multi_scale_deformable_attention.py:36-48, config values
+    co_dino_5scale_r50_lsj:72-76)."""
+
+    embed_dims: int = 256
+    num_heads: int = 8
+    num_levels: int = 5
+    num_points: int = 4
+    im2col_step: int = 64  # kept for interface parity; unused on TPU
+    dropout: float = 0.0
+    value_proj_ratio: float = 1.0
+
+    @property
+    def head_dims(self) -> int:
+        return self.embed_dims // self.num_heads
+
+
+@dataclass(frozen=True)
+class EncoderLayerConfig:
+    """Encoder BaseTransformerLayer: ('self_attn','norm','ffn','norm') with MSDA
+    self-attention (reference config co_dino_5scale_r50_lsj:70-79)."""
+
+    attn: MSDAConfig = field(default_factory=MSDAConfig)
+    feedforward_channels: int = 2048
+    ffn_dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class DecoderLayerConfig:
+    """Decoder DetrTransformerDecoderLayer:
+    ('self_attn','norm','cross_attn','norm','ffn','norm'); self-attn is dense MHA,
+    cross-attn is MSDA (reference config co_dino_5scale_r50_lsj:84-101)."""
+
+    self_attn_heads: int = 8
+    cross_attn: MSDAConfig = field(default_factory=MSDAConfig)
+    feedforward_channels: int = 2048
+    ffn_dropout: float = 0.0
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """CoDinoTransformer (reference: codetr/transformer.py:418-445; config
+    co_dino_5scale_r50_lsj:58-101)."""
+
+    embed_dims: int = 256
+    num_feature_levels: int = 5
+    two_stage_num_proposals: int = 900
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    encoder_layer: EncoderLayerConfig = field(default_factory=EncoderLayerConfig)
+    decoder_layer: DecoderLayerConfig = field(default_factory=DecoderLayerConfig)
+    with_pos_coord: bool = True
+    with_coord_feat: bool = False
+    num_co_heads: int = 2
+
+
+@dataclass(frozen=True)
+class HeadConfig:
+    """CoDINOHead (reference: codetr/co_dino_head.py:36-118; config
+    co_dino_5scale_r50_lsj:48-57, test_cfg :250-255)."""
+
+    num_query: int = 900
+    num_classes: int = 80
+    num_reg_fcs: int = 2
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    positional_encoding: PositionalEncodingConfig = field(default_factory=PositionalEncodingConfig)
+    max_per_img: int = 300  # test_cfg[0].max_per_img
+    use_sigmoid: bool = True  # QualityFocalLoss(use_sigmoid=True)
+    nms_iou_threshold: float = 0.8  # test_cfg[0].nms.iou_threshold
+
+
+@dataclass(frozen=True)
+class PreprocessConfig:
+    """DetDataPreprocessor equivalents (reference config co_dino_5scale_r50_lsj:23-29,
+    export.py:110-129)."""
+
+    mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+    bgr_to_rgb: bool = True
+
+
+@dataclass(frozen=True)
+class CoDETRConfig:
+    """Top-level model config (reference: codetr/codetr.py:33-64)."""
+
+    backbone_type: str = "swin"  # "swin" | "resnet"
+    swin: Optional[SwinConfig] = None
+    resnet: Optional[ResNetConfig] = None
+    neck: NeckConfig = field(default_factory=NeckConfig)
+    head: HeadConfig = field(default_factory=HeadConfig)
+    preprocess: PreprocessConfig = field(default_factory=PreprocessConfig)
+
+    @property
+    def backbone_out_channels(self) -> Tuple[int, ...]:
+        if self.backbone_type == "swin":
+            assert self.swin is not None
+            return self.swin.num_features
+        assert self.resnet is not None
+        return self.resnet.num_features
+
+    def replace(self, **kw) -> "CoDETRConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def co_dino_swin_l() -> CoDETRConfig:
+    """Co-DINO Swin-L 5-scale (o365->COCO) — the reference's flagship
+    (configs/co_dino_5scale_swin_l_16xb1_16e_o365tococo.py)."""
+    return CoDETRConfig(
+        backbone_type="swin",
+        swin=SwinConfig(),
+        neck=NeckConfig(in_channels=(192, 384, 768, 1536)),
+    )
+
+
+def co_dino_r50() -> CoDETRConfig:
+    """Co-DINO R50 5-scale (configs/co_dino_5scale_r50_lsj_8xb2_1x_coco.py)."""
+    return CoDETRConfig(
+        backbone_type="resnet",
+        resnet=ResNetConfig(),
+        neck=NeckConfig(in_channels=(256, 512, 1024, 2048)),
+    )
+
+
+def tiny_test_config(num_levels: int = 5) -> CoDETRConfig:
+    """A miniature config for fast unit tests and multi-chip dry runs."""
+    msda = MSDAConfig(embed_dims=32, num_heads=4, num_levels=num_levels, num_points=2)
+    tf = TransformerConfig(
+        embed_dims=32,
+        num_feature_levels=num_levels,
+        two_stage_num_proposals=12,
+        num_encoder_layers=2,
+        num_decoder_layers=2,
+        encoder_layer=EncoderLayerConfig(attn=msda, feedforward_channels=64),
+        decoder_layer=DecoderLayerConfig(self_attn_heads=4, cross_attn=msda, feedforward_channels=64),
+    )
+    head = HeadConfig(
+        num_query=12,
+        num_classes=7,
+        transformer=tf,
+        positional_encoding=PositionalEncodingConfig(num_feats=16),
+        max_per_img=8,
+    )
+    swin = SwinConfig(
+        embed_dims=8,
+        depths=(1, 1, 2, 1),
+        num_heads=(1, 2, 4, 8),
+        window_size=4,
+        pretrain_img_size=32,
+    )
+    return CoDETRConfig(
+        backbone_type="swin",
+        swin=swin,
+        neck=NeckConfig(in_channels=swin.num_features, out_channels=32, num_outs=num_levels),
+        head=head,
+    )

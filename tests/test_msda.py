@@ -1,0 +1,129 @@
+"""Unit tests for multi-scale deformable attention.
+
+Mirrors the reference's test strategy
+(tests/test_multi_scale_deformable_attention.py:246-364): the oracle is an
+independent torch implementation built directly on
+``torch.nn.functional.grid_sample`` (bilinear, zeros padding,
+align_corners=False) — the same primitive the reference's PyTorch fallback
+uses — compared against the jnp reference at double/float/half tolerances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from codetr_tpu.ops.msda import multi_scale_deformable_attention_reference
+
+
+def torch_msda_oracle(value, spatial_shapes, sampling_locations, attention_weights):
+    """Torch oracle: per-level grid_sample + weighted sum.
+
+    value: (bs, K, h, d) ; locations (bs, Q, h, L, P, 2) in [0,1];
+    weights (bs, Q, h, L, P). Returns (bs, Q, h*d).
+    """
+    bs, _, num_heads, d = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    splits = [h * w for h, w in spatial_shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * sampling_locations - 1
+    sampled = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(bs * num_heads, d, H, W)
+        g = grids[:, :, :, lvl].permute(0, 2, 1, 3, 4).flatten(0, 1)  # (bs*h, Q, P, 2)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        sampled.append(s)  # (bs*h, d, Q, P)
+    w = attention_weights.permute(0, 2, 1, 3, 4).reshape(bs * num_heads, 1, Q, L * P)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * w).sum(-1)
+    return out.view(bs, num_heads * d, Q).transpose(1, 2).contiguous()
+
+
+def make_inputs(
+    rng, bs=2, num_heads=4, head_dims=8, Q=40, P=3,
+    spatial_shapes=((6, 4), (3, 2), (2, 2)), dtype=np.float64,
+    oob_fraction=0.2,
+):
+    K = sum(h * w for h, w in spatial_shapes)
+    L = len(spatial_shapes)
+    value = rng.standard_normal((bs, K, num_heads, head_dims)).astype(dtype)
+    # locations mostly in [0,1], a fraction pushed out of bounds to exercise
+    # the zero-padding branch
+    loc = rng.uniform(0, 1, (bs, Q, num_heads, L, P, 2))
+    oob = rng.uniform(-0.6, 1.6, loc.shape)
+    pick = rng.uniform(0, 1, loc.shape) < oob_fraction
+    loc = np.where(pick, oob, loc).astype(dtype)
+    w = rng.uniform(0, 1, (bs, Q, num_heads, L, P)).astype(dtype)
+    w = w / w.sum(axis=(-1, -2), keepdims=True)
+    return value, spatial_shapes, loc, w
+
+
+@pytest.mark.parametrize(
+    "dtype,atol",
+    [(np.float64, 1e-12), (np.float32, 1e-5)],
+)
+def test_msda_reference_matches_torch_grid_sample(dtype, atol):
+    rng = np.random.default_rng(0)
+    value, shapes, loc, w = make_inputs(rng, dtype=dtype)
+    out_jax = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)
+    )
+    out_torch = torch_msda_oracle(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc), torch.from_numpy(w)
+    )
+    np.testing.assert_allclose(np.asarray(out_jax), out_torch.numpy(), atol=atol, rtol=0)
+
+
+def test_msda_reference_realistic_5level_shapes():
+    """5-level pyramid at 1/8 scale of the 608x608 config (fast on CPU)."""
+    rng = np.random.default_rng(1)
+    shapes = tuple((max(1, 76 // 2**i), max(1, 76 // 2**i)) for i in range(5))
+    value, shapes, loc, w = make_inputs(
+        rng, bs=1, num_heads=8, head_dims=4, Q=64, P=4,
+        spatial_shapes=shapes, dtype=np.float32,
+    )
+    out_jax = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)
+    )
+    out_torch = torch_msda_oracle(
+        torch.from_numpy(value), shapes, torch.from_numpy(loc), torch.from_numpy(w)
+    )
+    np.testing.assert_allclose(np.asarray(out_jax), out_torch.numpy(), atol=2e-5, rtol=0)
+
+
+def test_msda_all_out_of_bounds_is_zero():
+    rng = np.random.default_rng(2)
+    value, shapes, loc, w = make_inputs(rng, dtype=np.float32)
+    loc = np.full_like(loc, 5.0)  # everything far outside
+    out = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w)
+    )
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=0)
+
+
+def test_msda_grad_matches_torch():
+    """Gradient parity wrt value/locations/weights (analog of the reference's
+    gradcheck tests, tests/test_multi_scale_deformable_attention.py:367-414)."""
+    rng = np.random.default_rng(3)
+    value, shapes, loc, w = make_inputs(rng, bs=1, Q=10, dtype=np.float64)
+
+    def loss_jax(v, l, a):
+        out = multi_scale_deformable_attention_reference(v, shapes, l, a)
+        return jnp.sum(out * out)
+
+    gv, gl, ga = jax.grad(loss_jax, argnums=(0, 1, 2))(
+        jnp.asarray(value), jnp.asarray(loc), jnp.asarray(w)
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    ta = torch.from_numpy(w).requires_grad_(True)
+    out = torch_msda_oracle(tv, shapes, tl, ta)
+    (out * out).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-10, rtol=0)
+    # grid_sample gradients at exact cell boundaries are subgradients; the
+    # random inputs avoid boundaries so tight tolerance is fine.
+    np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), atol=1e-10, rtol=0)
