@@ -1,0 +1,104 @@
+"""CoDINO detection head (reference: codetr/co_dino_head.py:17-210).
+
+Owns the sine positional encoding, the CoDinoTransformer, and the 7 cloned
+classification / regression branches (6 decoder layers + 1 encoder stage,
+reference co_dino_head.py:103-113).  Produces the final
+(boxes[bs,300,4] xyxy-in-pixels, scores[bs,300], labels[bs,300]) exactly like
+the reference forward (co_dino_head.py:120-210).
+
+The reference's unused-at-inference ``downsample`` conv (co_dino_head.py:115,
+consumed only by training-time aux heads) is not instantiated.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from codetr_tpu.config import HeadConfig
+from codetr_tpu.models.layers import Mlp, nearest_resize_mask
+from codetr_tpu.models.positional_encoding import sine_positional_encoding
+from codetr_tpu.models.transformer import CoDinoTransformer
+
+
+class CoDINOHead(nn.Module):
+    cfg: HeadConfig
+    dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    def setup(self):
+        c = self.cfg
+        num_pred = c.transformer.num_decoder_layers + 1
+        self.cls_branches = [
+            nn.Dense(c.num_classes, dtype=self.dtype, param_dtype=jnp.float32, name=f"cls_branches_{i}")
+            for i in range(num_pred)
+        ]
+        self.reg_branches = [
+            Mlp(
+                hidden_dim=c.transformer.embed_dims,
+                output_dim=4,
+                num_layers=c.num_reg_fcs + 1,
+                dtype=self.dtype,
+                name=f"reg_branches_{i}",
+            )
+            for i in range(num_pred)
+        ]
+        self.transformer = CoDinoTransformer(
+            cfg=c.transformer, dtype=self.dtype, msda_impl=self.msda_impl, name="transformer"
+        )
+
+    def __call__(
+        self,
+        mlvl_feats: Sequence[jax.Array],  # NHWC feature maps
+        img_masks: jax.Array,  # (bs, H, W) float, 1 = padded
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        c = self.cfg
+        image_height, image_width = img_masks.shape[-2:]
+
+        mlvl_masks = []
+        mlvl_pos = []
+        for feat in mlvl_feats:
+            h, w = feat.shape[1], feat.shape[2]
+            m = nearest_resize_mask(img_masks, h, w)
+            m = (m != 0)
+            mlvl_masks.append(m)
+            mlvl_pos.append(sine_positional_encoding(m, c.positional_encoding, dtype=self.dtype))
+
+        final_state, final_refs_unact = self.transformer(
+            mlvl_feats,
+            mlvl_masks,
+            mlvl_pos,
+            reg_branches=self.reg_branches,
+            cls_branches=self.cls_branches,
+        )
+
+        lvl = c.transformer.num_decoder_layers - 1
+        outputs_classes = self.cls_branches[lvl](final_state)  # (bs, nq, num_classes)
+        tmp = self.reg_branches[lvl](final_state)
+        tmp = tmp + final_refs_unact
+        outputs_coords = jax.nn.sigmoid(tmp.astype(jnp.float32))  # (bs, nq, 4) cxcywh
+
+        bs, nq, _ = outputs_coords.shape
+        assert c.use_sigmoid, "softmax classification head not used by any reference config"
+        cls_score = jax.nn.sigmoid(outputs_classes.astype(jnp.float32))  # (bs, nq, ncls)
+        scores, indexes = jax.lax.top_k(cls_score.reshape(bs, -1), c.max_per_img)
+        det_labels = indexes % c.num_classes
+        bbox_index = indexes // c.num_classes
+        bbox_pred = jnp.take_along_axis(outputs_coords, bbox_index[..., None], axis=1)
+
+        # cxcywh -> xyxy, scale to pixels, clamp (co_dino_head.py:205-209)
+        cx, cy, w, h = jnp.split(bbox_pred, 4, axis=-1)
+        boxes = jnp.concatenate([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+        scale = jnp.asarray(
+            [image_width, image_height, image_width, image_height], jnp.float32
+        )
+        boxes = boxes * scale
+        boxes = jnp.clip(
+            boxes,
+            jnp.zeros((4,), jnp.float32),
+            scale,
+        )
+        return boxes, scores, det_labels

@@ -1,0 +1,116 @@
+"""MultiScaleDeformableAttention flax module.
+
+Re-implements the reference module
+(codetr/multi_scale_deformable_attention.py:15-218) batch-first: query/value
+projections, per-query sampling-offset and attention-weight heads, reference-
+point math for 2-point and 4-point references, then the fused sampling op
+(codetr_tpu.ops.msda — Pallas on TPU, jnp gather elsewhere).
+
+The reference's grid-pattern bias init for sampling_offsets
+(multi_scale_deformable_attention.py:97-115) is reproduced because it defines
+the op's behavior under randomly-initialized tests (the reference's own test
+strategy builds models without weights, tests/test_export.py:228).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codetr_tpu.config import MSDAConfig
+from codetr_tpu.ops.msda import multi_scale_deformable_attention
+
+
+def _grid_offset_bias(num_heads: int, num_levels: int, num_points: int) -> np.ndarray:
+    """Reference init: unit directions at head angles, scaled by point index
+    (multi_scale_deformable_attention.py:101-111)."""
+    thetas = np.arange(num_heads, dtype=np.float64) * (2.0 * math.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (h, 2)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    for i in range(num_points):
+        grid[:, :, i, :] *= i + 1
+    return grid.reshape(-1).astype(np.float32)
+
+
+class MultiScaleDeformableAttention(nn.Module):
+    cfg: MSDAConfig
+    dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"  # kernel dispatch: auto | reference | pallas
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,  # (bs, nq, C)
+        value: Optional[jax.Array] = None,  # (bs, nk, C)
+        identity: Optional[jax.Array] = None,
+        query_pos: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,  # (bs, nk) True = pad
+        reference_points: Optional[jax.Array] = None,  # (bs, nq, L, 2|4)
+        spatial_shapes: Tuple[Tuple[int, int], ...] = (),
+    ) -> jax.Array:
+        c = self.cfg
+        if value is None:
+            value = query
+        if identity is None:
+            identity = query
+        if query_pos is not None:
+            query = query + query_pos
+
+        bs, num_query, _ = query.shape
+        num_value = value.shape[1]
+        assert sum(h * w for h, w in spatial_shapes) == num_value
+
+        dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        value_proj_size = int(c.embed_dims * c.value_proj_ratio)
+        v = dense(value_proj_size, "value_proj")(value)
+        if key_padding_mask is not None:
+            v = jnp.where(key_padding_mask[..., None], 0.0, v)
+        v = v.reshape(bs, num_value, c.num_heads, value_proj_size // c.num_heads)
+
+        offsets = nn.Dense(
+            c.num_heads * c.num_levels * c.num_points * 2,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                _grid_offset_bias(c.num_heads, c.num_levels, c.num_points), dtype
+            ),
+            name="sampling_offsets",
+        )(query).reshape(bs, num_query, c.num_heads, c.num_levels, c.num_points, 2)
+
+        attn = nn.Dense(
+            c.num_heads * c.num_levels * c.num_points,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(bs, num_query, c.num_heads, c.num_levels * c.num_points)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        attn = attn.reshape(bs, num_query, c.num_heads, c.num_levels, c.num_points)
+
+        if reference_points.shape[-1] == 2:
+            # normalize offsets by (W, H) of each level
+            normalizer = jnp.asarray(
+                [[w, h] for h, w in spatial_shapes], dtype=jnp.float32
+            )  # (L, 2) xy
+            loc = (
+                reference_points[:, :, None, :, None, :]
+                + offsets / normalizer[None, None, None, :, None, :]
+            )
+        elif reference_points.shape[-1] == 4:
+            loc = (
+                reference_points[:, :, None, :, None, :2]
+                + offsets / c.num_points * reference_points[:, :, None, :, None, 2:] * 0.5
+            )
+        else:
+            raise ValueError(f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}")
+
+        out = multi_scale_deformable_attention(v, spatial_shapes, loc, attn, impl=self.impl)
+        out = dense(c.embed_dims, "output_proj")(out)
+        return out + identity

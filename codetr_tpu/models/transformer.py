@@ -1,0 +1,320 @@
+"""Co-DINO two-stage transformer, batch-first / static-shape for XLA.
+
+Re-designs the reference transformer stack (codetr/transformer.py:
+DetrTransformerEncoder :16, DinoTransformerDecoder :120,
+DetrTransformerDecoderLayer :233, CoDinoTransformer :403; generic layer
+assembly vendored from mmcv at codetr/transformer_mmcv.py:503-749) with the
+fixed operation orders baked in:
+
+- encoder layer:  MSDA self-attn -> LN -> FFN -> LN      (post-norm)
+- decoder layer:  MHA self-attn -> LN -> MSDA cross-attn -> LN -> FFN -> LN
+
+TPU-first differences from the reference:
+- everything stays (batch, seq, dim); the reference permutes to seq-first for
+  torch.nn.MultiheadAttention (transformer.py:532-533 etc.)
+- spatial_shapes / level_start_index are compile-time constants, not tensors
+- the branch-free multiplicative masking of the export path
+  (make_encoder_output_proposals_export / apply_mask_to_proposal_and_memory,
+  transformer.py:331-381) is expressed with jnp.where, which additionally
+  avoids the reference's nan*0 propagation when a reference point exceeds 1
+  in a padded region.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codetr_tpu.config import TransformerConfig
+from codetr_tpu.models.layers import FFN, MultiheadAttention, layer_norm
+from codetr_tpu.models.msda_module import MultiScaleDeformableAttention
+from codetr_tpu.models.positional_encoding import gen_sineembed_for_position
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def get_valid_ratio(mask: jax.Array) -> jax.Array:
+    """(bs, H, W) pad-mask -> (bs, 2) [w_ratio, h_ratio]
+    (reference: get_valid_ratio, transformer.py:384-400)."""
+    H, W = mask.shape[1], mask.shape[2]
+    valid_h = jnp.sum(1.0 - mask[:, :, 0].astype(jnp.float32), axis=1)
+    valid_w = jnp.sum(1.0 - mask[:, 0, :].astype(jnp.float32), axis=1)
+    return jnp.stack([valid_w / W, valid_h / H], axis=-1)
+
+
+def get_reference_points(spatial_shapes: Shapes, valid_ratios: jax.Array) -> jax.Array:
+    """Per-key normalized center points (bs, K, 2) xy
+    (reference: get_reference_points, transformer.py:280-305)."""
+    bs = valid_ratios.shape[0]
+    refs = []
+    for lvl, (H, W) in enumerate(spatial_shapes):
+        ref_y, ref_x = jnp.meshgrid(
+            jnp.linspace(0.5, H - 0.5, H, dtype=jnp.float32),
+            jnp.linspace(0.5, W - 0.5, W, dtype=jnp.float32),
+            indexing="ij",
+        )
+        ref_y = ref_y.reshape(1, -1) / (valid_ratios[:, lvl, 1:2] * H)
+        ref_x = ref_x.reshape(1, -1) / (valid_ratios[:, lvl, 0:1] * W)
+        refs.append(jnp.stack((ref_x, ref_y), axis=-1))  # (bs, HW, 2)
+    return jnp.concatenate(refs, axis=1)
+
+
+def make_encoder_output_proposals(
+    reference_points: jax.Array, spatial_shapes: Shapes
+) -> jax.Array:
+    """(bs, K, 2) -> unactivated (bs, K, 4) proposals with per-level widths
+    0.05 * 2^lvl (reference: make_encoder_output_proposals_export,
+    transformer.py:331-339; the level-id vector is a static constant here)."""
+    lvl_ids = np.concatenate(
+        [np.full(h * w, lvl, dtype=np.float32) for lvl, (h, w) in enumerate(spatial_shapes)]
+    )
+    width = jnp.asarray(0.05 * (2.0**lvl_ids), reference_points.dtype)  # (K,)
+    bs, K, _ = reference_points.shape
+    width = jnp.broadcast_to(width[None, :, None], (bs, K, 1))
+    proposals = jnp.concatenate([reference_points, width, width], axis=-1)
+    # inverse sigmoid; out-of-(0,1) entries produce non-finite values that are
+    # masked out downstream (apply_mask_to_proposal_and_memory)
+    return jnp.log(proposals / (1.0 - proposals))
+
+
+def apply_mask_to_proposal_and_memory(
+    output_proposals: jax.Array, memory: jax.Array, memory_padding_mask: jax.Array
+):
+    """Branch-free invalid-proposal masking
+    (reference: apply_mask_to_proposal_and_memory, transformer.py:351-381):
+    proposals outside logit range (+-4.6 ~= sigmoid in [0.01, 0.99]) or in
+    padded keys are pushed to dtype-max; memory at those keys is zeroed."""
+    in_bounds = jnp.all(
+        (output_proposals > -4.6) & (output_proposals < 4.6), axis=-1, keepdims=True
+    )
+    valid = in_bounds & ~memory_padding_mask[..., None].astype(bool)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, output_proposals.dtype)
+    proposals = jnp.where(valid, output_proposals, big)
+    out_memory = jnp.where(valid, memory, 0.0)
+    return proposals, out_memory
+
+
+class DetrTransformerEncoderLayer(nn.Module):
+    """MSDA self-attn -> LN -> FFN -> LN (config co_dino_5scale_r50_lsj:70-79)."""
+
+    cfg: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, query, query_pos, key_padding_mask, reference_points, spatial_shapes):
+        query = MultiScaleDeformableAttention(
+            cfg=self.cfg.encoder_layer.attn, dtype=self.dtype, impl=self.msda_impl, name="self_attn"
+        )(
+            query,
+            value=query,
+            query_pos=query_pos,
+            key_padding_mask=key_padding_mask,
+            reference_points=reference_points,
+            spatial_shapes=spatial_shapes,
+        )
+        query = layer_norm(query, dtype=self.dtype, name="norm1")
+        query = FFN(
+            feedforward_channels=self.cfg.encoder_layer.feedforward_channels,
+            embed_dims=self.cfg.embed_dims,
+            dtype=self.dtype,
+            name="ffn",
+        )(query)
+        return layer_norm(query, dtype=self.dtype, name="norm2")
+
+
+class DetrTransformerDecoderLayer(nn.Module):
+    """MHA self-attn -> LN -> MSDA cross-attn -> LN -> FFN -> LN
+    (config co_dino_5scale_r50_lsj:84-101)."""
+
+    cfg: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, query, memory, query_pos, key_padding_mask, reference_points, spatial_shapes
+    ):
+        query = MultiheadAttention(
+            embed_dims=self.cfg.embed_dims,
+            num_heads=self.cfg.decoder_layer.self_attn_heads,
+            dtype=self.dtype,
+            name="self_attn",
+        )(query, query_pos=query_pos)
+        query = layer_norm(query, dtype=self.dtype, name="norm1")
+        query = MultiScaleDeformableAttention(
+            cfg=self.cfg.decoder_layer.cross_attn, dtype=self.dtype, impl=self.msda_impl, name="cross_attn"
+        )(
+            query,
+            value=memory,
+            query_pos=query_pos,
+            key_padding_mask=key_padding_mask,
+            reference_points=reference_points,
+            spatial_shapes=spatial_shapes,
+        )
+        query = layer_norm(query, dtype=self.dtype, name="norm2")
+        query = FFN(
+            feedforward_channels=self.cfg.decoder_layer.feedforward_channels,
+            embed_dims=self.cfg.embed_dims,
+            dtype=self.dtype,
+            name="ffn",
+        )(query)
+        return layer_norm(query, dtype=self.dtype, name="norm3")
+
+
+class DinoTransformerDecoder(nn.Module):
+    """Iterative box-refinement decoder
+    (reference: DinoTransformerDecoder, transformer.py:120-230)."""
+
+    cfg: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        query,  # (bs, nq, C)
+        memory,  # (bs, K, C)
+        key_padding_mask,  # (bs, K)
+        reference_points,  # (bs, nq, 4) unactivated
+        spatial_shapes: Shapes,
+        valid_ratios,  # (bs, L, 2)
+        reg_branches: Sequence[Any],
+    ):
+        c = self.cfg
+        from codetr_tpu.models.layers import Mlp
+
+        ref_point_head = Mlp(
+            hidden_dim=c.embed_dims, output_dim=c.embed_dims, num_layers=2,
+            dtype=self.dtype, name="ref_point_head",
+        )
+
+        output = query
+        for lid in range(c.num_decoder_layers):
+            ref_sig = jax.nn.sigmoid(reference_points.astype(jnp.float32))
+            vr = jnp.concatenate([valid_ratios, valid_ratios], axis=-1)  # (bs, L, 4)
+            ref_input = ref_sig[:, :, None, :] * vr[:, None]  # (bs, nq, L, 4)
+
+            sine = gen_sineembed_for_position(
+                ref_input[:, :, 0, :].astype(self.dtype), c.embed_dims // 2
+            )  # (bs, nq, 2*embed)
+            query_pos = ref_point_head(sine)
+
+            output = DetrTransformerDecoderLayer(
+                cfg=c, dtype=self.dtype, msda_impl=self.msda_impl, name=f"layers_{lid}"
+            )(
+                output,
+                memory,
+                query_pos=query_pos,
+                key_padding_mask=key_padding_mask,
+                reference_points=ref_input.astype(self.dtype),
+                spatial_shapes=spatial_shapes,
+            )
+
+            # iterative refinement in unactivated space
+            # (reference: transformer.py:223-226)
+            reference_points = reg_branches[lid](output) + reference_points
+
+        output = layer_norm(output, dtype=self.dtype, name="norm")
+        return output, reference_points
+
+
+class CoDinoTransformer(nn.Module):
+    """Flatten levels -> encoder -> two-stage proposal selection -> decoder
+    (reference: CoDinoTransformer.forward, transformer.py:480-582)."""
+
+    cfg: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
+    msda_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        mlvl_feats: Sequence[jax.Array],  # NHWC per level
+        mlvl_masks: Sequence[jax.Array],  # (bs, h, w) pad masks
+        mlvl_pos_embeds: Sequence[jax.Array],  # (bs, h, w, C)
+        reg_branches: Sequence[Any],
+        cls_branches: Sequence[Any],
+    ):
+        c = self.cfg
+        bs = mlvl_feats[0].shape[0]
+        spatial_shapes: Shapes = tuple((f.shape[1], f.shape[2]) for f in mlvl_feats)
+
+        level_embeds = self.param(
+            "level_embeds", nn.initializers.normal(1.0), (c.num_feature_levels, c.embed_dims), jnp.float32
+        )
+
+        feat_flat = jnp.concatenate(
+            [f.reshape(bs, -1, c.embed_dims) for f in mlvl_feats], axis=1
+        )
+        mask_flat = jnp.concatenate([m.reshape(bs, -1) for m in mlvl_masks], axis=1)
+        pos_flat = jnp.concatenate(
+            [
+                p.reshape(bs, -1, c.embed_dims) + level_embeds[lvl].astype(self.dtype)
+                for lvl, p in enumerate(mlvl_pos_embeds)
+            ],
+            axis=1,
+        )
+
+        valid_ratios = jnp.stack([get_valid_ratio(m) for m in mlvl_masks], axis=1)  # (bs, L, 2)
+        reference_points = get_reference_points(spatial_shapes, valid_ratios)  # (bs, K, 2)
+        ref_by_level = reference_points[:, :, None, :] * valid_ratios[:, None]  # (bs, K, L, 2)
+
+        memory = feat_flat
+        for lid in range(c.num_encoder_layers):
+            memory = DetrTransformerEncoderLayer(
+                cfg=c, dtype=self.dtype, msda_impl=self.msda_impl, name=f"encoder_layers_{lid}"
+            )(
+                memory,
+                query_pos=pos_flat,
+                key_padding_mask=mask_flat,
+                reference_points=ref_by_level.astype(self.dtype),
+                spatial_shapes=spatial_shapes,
+            )
+
+        # --- two-stage proposal generation (transformer.py:549-562) ---
+        output_proposals = make_encoder_output_proposals(
+            reference_points.astype(jnp.float32), spatial_shapes
+        )
+        output_proposals, output_memory = apply_mask_to_proposal_and_memory(
+            output_proposals, memory, mask_flat
+        )
+        output_memory = nn.Dense(
+            c.embed_dims, dtype=self.dtype, param_dtype=jnp.float32, name="enc_output"
+        )(output_memory)
+        output_memory = layer_norm(output_memory, dtype=self.dtype, name="enc_output_norm")
+
+        # branch index num_decoder_layers (==6) serves the encoder stage
+        # (reference: transformer.py:553-557, co_dino_head.py:103-113)
+        enc_class = cls_branches[c.num_decoder_layers](output_memory)  # (bs, K, num_classes)
+        enc_coord_unact = reg_branches[c.num_decoder_layers](output_memory) + output_proposals
+
+        topk = c.two_stage_num_proposals
+        cls_max = jnp.max(enc_class.astype(jnp.float32), axis=-1)  # (bs, K)
+        _, topk_idx = jax.lax.top_k(cls_max, topk)  # (bs, topk)
+        topk_coords_unact = jnp.take_along_axis(
+            enc_coord_unact, topk_idx[..., None], axis=1
+        )  # (bs, topk, 4)
+        topk_coords_unact = jax.lax.stop_gradient(topk_coords_unact)
+
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (topk, c.embed_dims), jnp.float32
+        )
+        query = jnp.broadcast_to(query_embed[None].astype(self.dtype), (bs, topk, c.embed_dims))
+
+        final_state, final_refs_unact = DinoTransformerDecoder(
+            cfg=c, dtype=self.dtype, msda_impl=self.msda_impl, name="decoder"
+        )(
+            query,
+            memory,
+            key_padding_mask=mask_flat,
+            reference_points=topk_coords_unact,
+            spatial_shapes=spatial_shapes,
+            valid_ratios=valid_ratios,
+            reg_branches=reg_branches,
+        )
+        return final_state, final_refs_unact
