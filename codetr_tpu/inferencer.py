@@ -1,0 +1,134 @@
+"""End-to-end inference pipeline — the analog of the reference's
+``Inferencer`` (codetr/inferencer.py:28-482) and the Python half of its C++
+runtime (codetr_inference.cpp).
+
+Pipeline per image (mirrors inferencer.py:404-478):
+  preprocess (keep-ratio resize -> pad -> normalize -> pad mask)
+  -> compiled forward (boxes, scores, labels at the padded resolution)
+  -> postprocess (score threshold + per-class NMS + rescale to original)
+  -> optional visualization + JSON-able dict output.
+
+TPU-first notes: NMS runs *inside* jit-able code with static shapes
+(codetr_tpu.ops.nms) — the reference must hoist it out of the compiled graph
+(inferencer.py:383-386).  Postprocess here can therefore run fused with the
+model on device; results come back as fixed-size arrays plus a keep mask.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codetr_tpu.config import CoDETRConfig
+from codetr_tpu.ops.nms import postprocess_detections
+from codetr_tpu.utils.coco import COCO_CLASSES
+from codetr_tpu.utils.preprocess import preprocess_numpy
+
+
+@dataclass
+class Detections:
+    """Fixed-size detection set; ``keep`` masks the valid rows."""
+
+    boxes: np.ndarray  # (N, 4) xyxy in original-image pixels
+    scores: np.ndarray  # (N,)
+    labels: np.ndarray  # (N,)
+    keep: np.ndarray  # (N,) bool
+
+    def compact(self) -> "Detections":
+        k = self.keep
+        return Detections(self.boxes[k], self.scores[k], self.labels[k], np.ones(k.sum(), bool))
+
+    def to_dict(self) -> dict:
+        """JSON dict, reference pred2dict parity (inferencer.py:303-341)."""
+        k = self.keep
+        return {
+            "labels": self.labels[k].tolist(),
+            "scores": [float(s) for s in self.scores[k]],
+            "bboxes": [[float(v) for v in b] for b in self.boxes[k]],
+        }
+
+
+class Inferencer:
+    """Build-once, call-per-image inference driver.
+
+    Args mirror the reference CLI knobs (export.py:20-94): fixed (height,
+    width), dtype policy, score/iou thresholds.
+    """
+
+    def __init__(
+        self,
+        model,
+        params,
+        cfg: CoDETRConfig,
+        *,
+        height: int,
+        width: int,
+        score_threshold: float = 0.3,
+        iou_threshold: float = 0.5,
+        classes: Sequence[str] = COCO_CLASSES,
+        compiled_fn=None,
+    ):
+        self.cfg = cfg
+        self.height = height
+        self.width = width
+        self.score_threshold = score_threshold
+        self.iou_threshold = iou_threshold
+        self.classes = list(classes)
+
+        if compiled_fn is None:
+            fwd = lambda inputs, masks: model.apply(params, inputs, masks)
+            compiled_fn = jax.jit(fwd)
+        self._fwd = compiled_fn
+
+        self._post = jax.jit(
+            lambda b, s, l, sf: postprocess_detections(
+                b, s, l,
+                score_threshold=self.score_threshold,
+                iou_threshold=self.iou_threshold,
+                scale_factor=sf,
+            )
+        )
+
+    def __call__(self, images: Sequence[np.ndarray]) -> List[Detections]:
+        """images: list of (H, W, 3) RGB uint8 arrays."""
+        outs = []
+        for image in images:
+            inputs, mask, scale_factor, _ = preprocess_numpy(
+                image, self.height, self.width, self.cfg.preprocess
+            )
+            boxes, scores, labels = self._fwd(
+                jnp.asarray(inputs)[None], jnp.asarray(mask)[None]
+            )
+            sf = jnp.asarray(
+                [scale_factor[0], scale_factor[1], scale_factor[0], scale_factor[1]],
+                jnp.float32,
+            )
+            b, s, l, keep = self._post(boxes, scores, labels, sf)
+            outs.append(
+                Detections(
+                    np.asarray(b[0]),
+                    np.asarray(s[0]),
+                    np.asarray(l[0]),
+                    np.asarray(keep[0]),
+                )
+            )
+        return outs
+
+    def dump_json(self, detections: Sequence[Detections], path: str):
+        with open(path, "w") as f:
+            json.dump([d.to_dict() for d in detections], f, indent=2)
+
+    def visualize(self, image: np.ndarray, det: Detections, out_path: Optional[str] = None):
+        from codetr_tpu.utils.visualize import draw_detections
+
+        vis = draw_detections(image, det, self.classes)
+        if out_path:
+            import cv2
+
+            cv2.imwrite(out_path, vis[..., ::-1])  # RGB -> BGR on disk
+        return vis

@@ -41,7 +41,11 @@ def _grid_offset_bias(num_heads: int, num_levels: int, num_points: int) -> np.nd
 class MultiScaleDeformableAttention(nn.Module):
     cfg: MSDAConfig
     dtype: jnp.dtype = jnp.float32
-    impl: str = "auto"  # kernel dispatch: auto | reference | pallas
+    impl: str = "auto"  # kernel dispatch: auto | reference | grid
+    # queries are the level-concatenated pixel grid (encoder self-attention):
+    # enables the gather-free shift-window path (ops/msda_grid.py)
+    grid_queries: bool = False
+    grid_radius: int = 4
 
     @nn.compact
     def __call__(
@@ -111,6 +115,9 @@ class MultiScaleDeformableAttention(nn.Module):
         else:
             raise ValueError(f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}")
 
-        out = multi_scale_deformable_attention(v, spatial_shapes, loc, attn, impl=self.impl)
+        out = multi_scale_deformable_attention(
+            v, spatial_shapes, loc, attn,
+            impl=self.impl, grid_queries=self.grid_queries, grid_radius=self.grid_radius,
+        )
         out = dense(c.embed_dims, "output_proj")(out)
         return out + identity

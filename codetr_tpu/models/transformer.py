@@ -108,7 +108,8 @@ class DetrTransformerEncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, query, query_pos, key_padding_mask, reference_points, spatial_shapes):
         query = MultiScaleDeformableAttention(
-            cfg=self.cfg.encoder_layer.attn, dtype=self.dtype, impl=self.msda_impl, name="self_attn"
+            cfg=self.cfg.encoder_layer.attn, dtype=self.dtype, impl=self.msda_impl,
+            grid_queries=True, name="self_attn"
         )(
             query,
             value=query,

@@ -1,0 +1,135 @@
+"""AOT compilation + serialized-executable workflow — the TPU analog of the
+reference's torch.export -> torch_tensorrt two-step and its artifacts
+(export.py:277-334: ``codetr.ts`` TorchScript + ``codetr.engine`` raw TRT).
+
+On TPU the two collapse into one: ``jax.jit`` traces the whole model (the
+torch.export step) and ``jax.export`` serializes the StableHLO + compiled
+payload (the engine step).  Custom kernels need no plugin registry — they are
+ordinary ops inside the serialized module, so the reference's
+plugin-loading/registration machinery (deformable_attention_plugin.cpp:394-466,
+ops.py:189-291) has no TPU counterpart by design.
+
+Artifacts:
+- ``<name>.codetr.xla``: serialized jax.export module (portable; recompiled
+  by XLA on load — the analog of a TorchScript file).
+- ``<name>.meta.json``: input spec + config digest, for the loader and the
+  C++ runtime to validate against.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+MAGIC = "codetr-tpu-xla-v1"
+
+
+def compile_forward(
+    model,
+    params,
+    *,
+    height: int,
+    width: int,
+    batch_size: int = 1,
+    dtype=jnp.float32,
+    donate_inputs: bool = False,
+):
+    """jit + AOT-lower the model forward at a fixed static shape
+    (the reference fixes shapes too: export.py:278-296, README.md:173-174).
+
+    Returns (compiled_fn, example_args).  compiled_fn(batch_inputs, img_masks)
+    closes over params (weights are baked like TRT engine weights).
+    """
+
+    def fwd(batch_inputs, img_masks):
+        return model.apply(params, batch_inputs, img_masks)
+
+    jitted = jax.jit(fwd, donate_argnums=(0,) if donate_inputs else ())
+    example = (
+        jnp.zeros((batch_size, height, width, 3), dtype),
+        jnp.zeros((batch_size, height, width), jnp.float32),
+    )
+    return jitted, example
+
+
+def save_executable(
+    path: str,
+    fn: Callable,
+    example_args: Sequence[jax.Array],
+    *,
+    meta: Optional[dict] = None,
+) -> str:
+    """Serialize a jitted function at the example shapes (engine-save analog,
+    export.py:320-334)."""
+    exported = jax_export.export(jax.jit(fn))(*example_args)
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    meta = dict(meta or {})
+    meta.update(
+        magic=MAGIC,
+        in_avals=[[list(a.shape), str(a.dtype)] for a in example_args],
+        platforms=list(exported.platforms),
+    )
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def load_executable(path: str) -> Callable:
+    """Deserialize and return a callable (engine-load analog,
+    codetr_inference.cpp:197-227).  The call recompiles once per process and
+    is cached by jit thereafter."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    rehydrated = jax_export.deserialize(blob)
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("magic") != MAGIC:
+            raise ValueError(f"{path}: not a codetr-tpu executable (bad magic)")
+    call = jax.jit(rehydrated.call)
+    return call
+
+
+def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, warmup: int = 3):
+    """Latency statistics via an on-device loop.
+
+    The remote-transport per-dispatch overhead (~35 ms through the axon
+    tunnel) would swamp per-call host timing, so we measure the mean over an
+    on-device fori_loop (the role trtexec's GPU-compute timing plays,
+    README.md:238-245), plus host-side wall times per single dispatch.
+    """
+    import time
+
+    # warmup / compile
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    first = jax.tree.leaves(out)[0]
+
+    def loop(n, *a):
+        def body(i, c):
+            o = fn(*a)
+            return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    looped = jax.jit(loop, static_argnums=0)
+    _ = np.asarray(looped(warmup, *args))
+    t0 = time.perf_counter()
+    _ = np.asarray(looped(iterations, *args))
+    device_ms = (time.perf_counter() - t0) / iterations * 1e3
+
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.tree.leaves(fn(*args))[0])
+    e2e_ms = (time.perf_counter() - t0) * 1e3
+    return {"device_ms_per_iter": device_ms, "host_e2e_ms": e2e_ms, "iterations": iterations}

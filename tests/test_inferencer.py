@@ -1,0 +1,83 @@
+"""End-to-end Inferencer + preprocessing + AOT round-trip on the tiny model."""
+
+import os
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from codetr_tpu.config import tiny_test_config
+from codetr_tpu.inferencer import Inferencer
+from codetr_tpu.models.codetr import build_codetr
+from codetr_tpu.runtime.aot import benchmark, compile_forward, load_executable, save_executable
+from codetr_tpu.utils.preprocess import preprocess_numpy, rescale_size
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_test_config()
+    model, params = build_codetr(cfg, msda_impl="reference", input_shape=(64, 64))
+    return cfg, model, params
+
+
+def test_rescale_size_keep_ratio():
+    # mmcv semantics: scale = min(new/old), round(old * scale + 0.5)
+    assert rescale_size(640, 480, 1152, 768) == (1024, 768)
+    assert rescale_size(1920, 1280, 1152, 768) == (1152, 768)
+    assert rescale_size(100, 300, 608, 608) == (203, 608)
+
+
+def test_preprocess_matches_reference_semantics():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (48, 96, 3), np.uint8)
+    out, mask, sf, (th, tw) = preprocess_numpy(img, 64, 64)
+    assert out.shape == (64, 64, 3)
+    # keep-ratio: 96 -> 64 wide, 48 -> 32 high
+    assert (tw, th) == (64, 32)
+    assert sf == (64 / 96, 32 / 48)
+    # mask: 0 inside image, 1 in padding (export.py:126-128)
+    assert mask[:32, :64].sum() == 0
+    assert mask[32:].all()
+    # padded region is zero after normalization
+    assert np.all(out[32:] == 0)
+
+
+def test_inferencer_end_to_end(tiny):
+    cfg, model, params = tiny
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (50, 60, 3), np.uint8)
+    inf = Inferencer(model, params, cfg, height=64, width=64,
+                     score_threshold=0.0, iou_threshold=0.8)
+    dets = inf([img])
+    assert len(dets) == 1
+    d = dets[0]
+    assert d.boxes.shape == (cfg.head.max_per_img, 4)
+    kept = d.compact()
+    # boxes rescaled to original image coordinates: canvas width 64 maps to 60
+    assert np.all(kept.boxes[:, 2] <= 60 + 1e-3)
+    out = d.to_dict()
+    assert set(out) == {"labels", "scores", "bboxes"}
+
+
+def test_aot_save_load_roundtrip(tiny):
+    cfg, model, params = tiny
+    fn, example = compile_forward(model, params, height=64, width=64)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "tiny.codetr.xla")
+        save_executable(path, fn, example)
+        assert os.path.exists(path) and os.path.exists(path + ".meta.json")
+        loaded = load_executable(path)
+        a = fn(*example)
+        b = loaded(*example)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_benchmark_helper(tiny):
+    cfg, model, params = tiny
+    fn, example = compile_forward(model, params, height=64, width=64)
+    stats = benchmark(fn, example, iterations=2, warmup=1)
+    assert stats["device_ms_per_iter"] > 0

@@ -1,0 +1,85 @@
+"""Shift-window (grid-query) MSDA vs the exact reference, within the offset
+envelope it guarantees (see codetr_tpu/ops/msda_grid.py docstring)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from codetr_tpu.ops.msda import multi_scale_deformable_attention_reference
+from codetr_tpu.ops.msda_grid import _anchor, msda_grid_shift
+
+
+def grid_inputs(rng, spatial_shapes, num_heads=4, head_dims=8, P=3,
+                radius=4, jitter=None, dtype=np.float32):
+    """Sampling locations = per-query anchor + bounded jitter (target px)."""
+    K = sum(h * w for h, w in spatial_shapes)
+    L = len(spatial_shapes)
+    jitter = radius - 1.0 if jitter is None else jitter
+    value = rng.standard_normal((1, K, num_heads, head_dims)).astype(dtype)
+
+    loc = np.zeros((1, K, num_heads, L, P, 2), dtype)
+    q0 = 0
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        iy, ix = np.meshgrid(np.arange(Hq), np.arange(Wq), indexing="ij")
+        for lt, (Ht, Wt) in enumerate(spatial_shapes):
+            ay = _anchor(iy.reshape(-1), Hq, Ht) if Hq == Ht else _anchor(iy, Hq, Ht)
+            ay = _anchor(iy, Hq, Ht).reshape(-1)
+            ax = _anchor(ix, Wq, Wt).reshape(-1)
+            jy = rng.uniform(-jitter, jitter, (Hq * Wq, num_heads, P))
+            jx = rng.uniform(-jitter, jitter, (Hq * Wq, num_heads, P))
+            pos_y = ay[:, None, None] + jy  # target pixel coords
+            pos_x = ax[:, None, None] + jx
+            loc[0, q0:q0 + Hq * Wq, :, lt, :, 1] = (pos_y + 0.5) / Ht
+            loc[0, q0:q0 + Hq * Wq, :, lt, :, 0] = (pos_x + 0.5) / Wt
+        q0 += Hq * Wq
+
+    w = rng.uniform(0, 1, (1, K, num_heads, L, P)).astype(dtype)
+    w = w / w.sum(axis=(-1, -2), keepdims=True)
+    return value, loc.astype(dtype), w
+
+
+@pytest.mark.parametrize("shapes", [
+    ((8, 8), (4, 4), (2, 2)),
+    ((6, 10), (3, 5)),
+    ((16, 12), (8, 6), (4, 3), (2, 2)),  # non-even downscale at last level
+])
+def test_grid_shift_matches_reference(shapes):
+    rng = np.random.default_rng(0)
+    value, loc, w = grid_inputs(rng, shapes, radius=3)
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_grid_shift(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w), radius=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_grid_shift_edge_positions_zero_padded():
+    """Jitter pushing taps outside the image must reproduce grid_sample's
+    zero padding exactly (taps still within the window)."""
+    shapes = ((6, 6), (3, 3))
+    rng = np.random.default_rng(1)
+    value, loc, w = grid_inputs(rng, shapes, radius=3, jitter=2.9)
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_grid_shift(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w), radius=3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_grid_shift_far_taps_dropped_not_garbage():
+    """Out-of-envelope points contribute zero (documented clipping), never
+    wrong values."""
+    shapes = ((8, 8),)
+    rng = np.random.default_rng(2)
+    value, loc, w = grid_inputs(rng, shapes, radius=2, jitter=1.0)
+    # push one point of one query far away
+    loc2 = np.asarray(loc).copy()
+    loc2[0, 0, 0, 0, 0] = (0.95, 0.95)  # ~6px from query 0's anchor
+    got = msda_grid_shift(jnp.asarray(value), shapes, jnp.asarray(loc2),
+                          jnp.asarray(w), radius=2)
+    # equals reference computed with that point's weight zeroed
+    w2 = np.asarray(w).copy()
+    w2[0, 0, 0, 0, 0] = 0.0
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc2), jnp.asarray(w2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
