@@ -174,20 +174,31 @@ def multi_scale_deformable_attention(
 
     impl:
       - "reference": exact flat-gather everywhere.
-      - "grid": shift-window path (requires grid_queries=True).
-      - "auto": shift-window for grid queries on TPU, exact gather otherwise.
+      - "grid": XLA shift-window path (requires grid_queries=True).
+      - "grid_pallas": fused Pallas shift-window kernel (grid queries, TPU).
+      - "auto": Pallas shift-window for grid queries on TPU, XLA shift-window
+        for grid queries elsewhere, exact gather for non-grid queries.
     grid_queries: queries are the level-concatenated pixel grid (encoder
-      self-attention) — enables the gather-free path.
+      self-attention) — enables the gather-free paths.
     """
     if impl == "reference" or (impl == "auto" and not grid_queries):
         return multi_scale_deformable_attention_reference(
             value, spatial_shapes, sampling_locations, attention_weights
         )
-    if impl in ("auto", "grid"):
-        assert grid_queries, "impl='grid' requires grid queries"
+    assert grid_queries, f"impl={impl!r} requires grid queries"
+    if impl == "auto":
+        impl = "grid_pallas" if jax.default_backend() == "tpu" else "grid"
+    if impl == "grid":
         from codetr_tpu.ops.msda_grid import msda_grid_shift
 
         return msda_grid_shift(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            radius=grid_radius,
+        )
+    if impl == "grid_pallas":
+        from codetr_tpu.ops.msda_pallas import msda_grid_pallas
+
+        return msda_grid_pallas(
             value, spatial_shapes, sampling_locations, attention_weights,
             radius=grid_radius,
         )

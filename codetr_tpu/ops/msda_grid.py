@@ -50,10 +50,11 @@ def _ideal_scale(nq: int, nt: int) -> int:
     return round(math.log2(nt / nq)) if nt != nq else 0
 
 
-def _anchor(i: np.ndarray, nq: int, nt: int) -> np.ndarray:
+def _anchor(i: np.ndarray, nq: int, nt: int, k: int | None = None) -> np.ndarray:
     """Idealized anchor map floor((i+0.5)*2^k - 0.5) for the power-of-2
     scale k between the axes (exact when nt/nq is a power of 2)."""
-    k = _ideal_scale(nq, nt)
+    if k is None:
+        k = _ideal_scale(nq, nt)
     scale = 2.0**k
     return np.floor((i + 0.5) * scale - 0.5).astype(np.int64)
 
@@ -78,12 +79,15 @@ class _AxisPlan:
     construction.
     """
 
-    def __init__(self, nq: int, nt: int, R: int):
+    def __init__(self, nq: int, nt: int, R: int, k: int | None = None):
+        # k: explicit power-of-2 scale (needed when nq was padded for tiling
+        # and the rounded log2 would misclassify the pair)
         self.nq, self.nt, self.R = nq, nt, R
         self.W = 2 * R + 3
+        if k is None:
+            k = _ideal_scale(nq, nt)
         i = np.arange(nq)
-        ay = _anchor(i, nq, nt)  # target row for window offset R+1 ("center")
-        k = _ideal_scale(nq, nt)
+        ay = _anchor(i, nq, nt, k)  # target row for window offset R+1 ("center")
         if k >= 0:
             f = 1 << k
             self.repeat = 1
@@ -97,7 +101,7 @@ class _AxisPlan:
             self.sigma_i, self.sigma_d = 1, g
             # U[m] = target[(m - pad*g) // g]; need (i + g*dy + s)//g == ay + dy
             s = -(g // 2)
-            assert np.all((i + s) // g == ay), (nq, nt)
+            assert np.all((i + s) // g == ay), (nq, nt, k)
             s = s - (R + 1) * g
         # shift into padded coordinates: pad the target axis with `pad` zeros
         # on each side (in target units) so all indices are in range.

@@ -1,0 +1,265 @@
+"""Pallas TPU kernel for grid-query MSDA (shift-window formulation).
+
+The fused, VMEM-resident version of codetr_tpu.ops.msda_grid — the TPU analog
+of the reference CUDA kernel + TRT plugin (ms_deform_attn.cu:211-261,
+deformable_attention_plugin.cpp).  The XLA version of the shift-window loop
+leaves every window position as a separate HBM-streaming kernel (~356 ms/call
+at 1152x768); this kernel holds the per-pair aligned value slab, the query
+tile coordinates, and the accumulator in VMEM, so the window sweep runs at
+VPU rate.
+
+Structure (one pallas_call per query level lq):
+  grid = (bs*heads, q_tiles_y, q_tiles_x)
+  for each target level lt:                      # python loop, same kernel
+    DMA the tile's halo block of U_lt (HBM->VMEM)
+    for (dy, dx) in window(lq, lt):              # fori_loop, dynamic slices
+      m   = sum_p w_p * hat(ty_p - dy) * hat(tx_p - dx)   # bilinear splat
+      acc += m * U_block[phase(dy), phase(dx), :, slice, slice]
+
+U_lt is the anchor-aligned target level built in XLA (zero-padded, nearest-
+repeated for coarser targets, phase-split for finer targets so all in-kernel
+reads are contiguous slices).  Anchor/stride/window math is shared with
+msda_grid (_AxisPlan) — both implementations are exact within the same offset
+envelope and are tested against each other and the flat-gather oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from codetr_tpu.ops.msda_grid import _AxisPlan, _anchor, pair_margin
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+class _PairPlan:
+    """Static per-(lq, lt) layout: axis plans, phase-split factors, halo
+    block geometry for a (TQy, TQx) query tile."""
+
+    def __init__(self, lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp, ky, kx):
+        # plans span the tile-PADDED query grid (Hqp, Wqp) so halo DMAs for
+        # padded tiles stay in range; ky/kx are the scales from REAL sizes.
+        self.R, self.W = R, 2 * R + 3
+        self.py = _AxisPlan(Hqp, Ht, R, k=ky)
+        self.px = _AxisPlan(Wqp, Wt, R, k=kx)
+        # phase factors (stride per query step along U)
+        self.fy = self.py.sigma_i
+        self.fx = self.px.sigma_i
+        # offsets swept by dy: sigma_d*dy + s0 for dy in [0, W)
+        offs_y = self.py.sigma_d * np.arange(self.W) + self.py.s0
+        offs_x = self.px.sigma_d * np.arange(self.W) + self.px.s0
+        # phase-split: U row (f*i + off) lives at (ny=i + off//f, phase=off%f)
+        self.oy = offs_y // self.fy
+        self.phy = offs_y % self.fy
+        self.ox = offs_x // self.fx
+        self.phx = offs_x % self.fx
+        # DMA starts must sit on VMEM tile boundaries (8 sublanes, 128
+        # lanes).  The dynamic part ti*TQy is a multiple of the tiling (TQy,
+        # TQx are tile multiples); floor-align the static offset and absorb
+        # the residue in the in-kernel static slice offsets.
+        self.oy0 = (int(self.oy.min()) // 8) * 8
+        self.ox0 = (int(self.ox.min()) // 128) * 128
+        # halo block extents for a (TQy, TQx) query tile, rounded up to the
+        # VMEM tiling — Mosaic also requires aligned DMA slice shapes
+        self.by = -(-(TQy + int(self.oy.max()) - self.oy0) // 8) * 8
+        self.bx = -(-(TQx + int(self.ox.max()) - self.ox0) // 128) * 128
+        # U extents (phase-split units) covering every tile's padded block
+        nty = Hqp // TQy
+        ntx = Wqp // TQx
+        self.ny = max(-(-self.py.ulen // self.fy), (nty - 1) * TQy + self.oy0 + self.by)
+        self.nx = max(-(-self.px.ulen // self.fx), (ntx - 1) * TQx + self.ox0 + self.bx)
+
+
+def _build_u(value_lt, plan: _PairPlan, bh, d):
+    """(bh, Ht*Wt, d)-slice -> phase-split aligned slab
+    (bh, fy, fx, d, ny, nx), zero-padded."""
+    Ht, Wt = plan.py.nt, plan.px.nt
+    v = value_lt.reshape(bh, Ht, Wt, d).transpose(0, 3, 1, 2)  # (bh, d, Ht, Wt)
+    u = plan.py.build(v, axis=2)
+    u = plan.px.build(u, axis=3)
+    # pad to phase multiples
+    pad_y = plan.ny * plan.fy - u.shape[2]
+    pad_x = plan.nx * plan.fx - u.shape[3]
+    u = jnp.pad(u, ((0, 0), (0, 0), (0, pad_y), (0, pad_x)))
+    u = u.reshape(bh, d, plan.ny, plan.fy, plan.nx, plan.fx)
+    return u.transpose(0, 3, 5, 1, 2, 4)  # (bh, fy, fx, d, ny, nx)
+
+
+def _level_kernel(plans, P, d, TQy, TQx, n_lt, *refs):
+    """refs: [u_0..u_{n-1} (ANY)], [txy_0..n-1 (VMEM blocked: (1, 3P, TQy, TQx))],
+    out (VMEM (1, d, TQy, TQx)), scratch u_vmem (max block), sem."""
+    u_refs = refs[:n_lt]
+    c_refs = refs[n_lt : 2 * n_lt]
+    out_ref = refs[2 * n_lt]
+    scratch = refs[2 * n_lt + 1]
+    sem = refs[2 * n_lt + 2]
+
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    acc = jnp.zeros((d, TQy, TQx), jnp.float32)
+    for lt in range(n_lt):
+        plan = plans[lt]
+        W = plan.W
+        by, bx = plan.by, plan.bx
+        # halo DMA: ny rows [ti*TQy + oy0, +by), nx cols [tj*TQx + ox0, +bx)
+        # (oy0/ox0 >= 0 by _AxisPlan padding)
+        row0 = ti * TQy + plan.oy0
+        col0 = tj * TQx + plan.ox0
+        src = u_refs[lt].at[b, :, :, :, pl.ds(row0, by), pl.ds(col0, bx)]
+        dst = scratch.at[: plan.fy, : plan.fx, :, :by, :bx]
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
+
+        coords = c_refs[lt]  # (1, 3P, TQy, TQx): [ty(P), tx(P), w(P)]
+        tys = coords[0, 0:P]
+        txs = coords[0, P : 2 * P]
+        wws = coords[0, 2 * P : 3 * P]
+
+        # static window sweep: Mosaic cannot prove alignment for dynamic
+        # sublane-dim slices, so dy/dx are unrolled with static (possibly
+        # unaligned) slice offsets.
+        sdy, s0y, fy = plan.py.sigma_d, plan.py.s0, plan.fy
+        sdx, s0x, fx = plan.px.sigma_d, plan.px.s0, plan.fx
+        for dy in range(W):
+            offy = sdy * dy + s0y
+            hys = [jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p] for p in range(P)]
+            for dx in range(W):
+                offx = sdx * dx + s0x
+                m = jnp.zeros((TQy, TQx), jnp.float32)
+                for p in range(P):
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
+                    m = m + hys[p] * hx
+                ry = offy // fy - plan.oy0
+                rx = offx // fx - plan.ox0
+                blk = scratch[
+                    offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx
+                ]  # (d, TQy, TQx)
+                acc = acc + m[None] * blk.astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shapes", "radius", "tile", "interpret")
+)
+def msda_grid_pallas(
+    value: jax.Array,  # (bs, K, h, d)
+    spatial_shapes: Shapes,
+    sampling_locations: jax.Array,  # (bs, K, h, L, P, 2)
+    attention_weights: jax.Array,  # (bs, K, h, L, P)
+    *,
+    radius: int = 4,
+    tile: Tuple[int, int] = (16, 128),
+    interpret: bool = False,
+) -> jax.Array:
+    bs, K, h, d = value.shape
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    assert sampling_locations.shape[1] == K
+    bh = bs * h
+    f32 = jnp.float32
+
+    value_hm = value.transpose(0, 2, 1, 3).reshape(bh, K, d)
+    # coordinate layout (bh, L, P, 2|1, K)
+    loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1).reshape(bh, L, P, 2, K)
+    attw = attention_weights.transpose(0, 2, 3, 4, 1).reshape(bh, L, P, K)
+
+    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
+    out_chunks = []
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        Kq = Hq * Wq
+        q0 = int(lvl_start[lq])
+        TQy = min(tile[0], max(8, Hq))
+        TQx = min(tile[1], max(128, Wq))
+        nty = -(-Hq // TQy)
+        ntx = -(-Wq // TQx)
+        Hqp, Wqp = nty * TQy, ntx * TQx
+
+        plans = []
+        u_arrays = []
+        coord_arrays = []
+        for lt, (Ht, Wt) in enumerate(spatial_shapes):
+            R = radius + pair_margin(lq, lt)
+            from codetr_tpu.ops.msda_grid import _ideal_scale
+
+            plan = _PairPlan(
+                lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp,
+                _ideal_scale(Hq, Ht), _ideal_scale(Wq, Wt),
+            )
+            plans.append(plan)
+            t0 = int(lvl_start[lt])
+            v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
+            u_arrays.append(_build_u(v_t, plan, bh, d))
+
+            anch_y = _anchor(np.arange(Hq), Hq, Ht).astype(np.float32)
+            anch_x = _anchor(np.arange(Wq), Wq, Wt).astype(np.float32)
+            ay = jnp.asarray(np.broadcast_to(anch_y[:, None], (Hq, Wq)))
+            ax = jnp.asarray(np.broadcast_to(anch_x[None, :], (Hq, Wq)))
+
+            loc_l = jax.lax.slice_in_dim(loc, q0, q0 + Kq, axis=4)[:, lt]  # (bh,P,2,Kq)
+            w_l = jax.lax.slice_in_dim(attw, q0, q0 + Kq, axis=3)[:, lt]  # (bh,P,Kq)
+            pos_x = loc_l[:, :, 0].astype(f32).reshape(bh, P, Hq, Wq) * Wt - 0.5
+            pos_y = loc_l[:, :, 1].astype(f32).reshape(bh, P, Hq, Wq) * Ht - 0.5
+            ty = pos_y - ay + (R + 1.0)
+            tx = pos_x - ax + (R + 1.0)
+            ww = w_l.reshape(bh, P, Hq, Wq).astype(f32)
+            cat = jnp.concatenate([ty, tx, ww], axis=1)  # (bh, 3P, Hq, Wq)
+            # pad query grid to tile multiples; window coords in pad -> far
+            # outside [0, W) so hats are 0 there
+            cat = jnp.pad(
+                cat,
+                ((0, 0), (0, 0), (0, Hqp - Hq), (0, Wqp - Wq)),
+                constant_values=-1e6,
+            )
+            coord_arrays.append(cat)
+
+        max_fy = max(p.fy for p in plans)
+        max_fx = max(p.fx for p in plans)
+        max_by = max(p.by for p in plans)
+        max_bx = max(p.bx for p in plans)
+
+        kernel = functools.partial(
+            _level_kernel, plans, P, d, TQy, TQx, L
+        )
+        grid = (bh, nty, ntx)
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(L)
+        ] + [
+            pl.BlockSpec(
+                (1, 3 * P, TQy, TQx),
+                lambda b, i, j: (b, 0, i, j),
+                memory_space=pltpu.VMEM,
+            )
+            for _ in range(L)
+        ]
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, d, TQy, TQx), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), value.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((max_fy, max_fx, d, max_by, max_bx), value.dtype),
+                pltpu.SemaphoreType.DMA,
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(*u_arrays, *coord_arrays)
+        # (bh, d, Hqp, Wqp) -> (bs, Kq, h*d)
+        out = out[:, :, :Hq, :Wq].reshape(bs, h, d, Kq).transpose(0, 3, 1, 2)
+        out_chunks.append(out.reshape(bs, Kq, h * d))
+
+    return jnp.concatenate(out_chunks, axis=1)

@@ -1,0 +1,39 @@
+"""Pallas shift-window kernel vs the jnp implementations (interpret mode on
+CPU; the compiled path is exercised on the real chip by bench.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from codetr_tpu.ops.msda import multi_scale_deformable_attention_reference
+from codetr_tpu.ops.msda_pallas import msda_grid_pallas
+from tests.test_msda_grid import grid_inputs
+
+
+@pytest.mark.parametrize("shapes,tile", [
+    (((16, 16), (8, 8)), (8, 128)),
+    (((8, 16), (4, 8), (2, 4)), (8, 128)),
+])
+def test_pallas_matches_reference_in_envelope(shapes, tile):
+    rng = np.random.default_rng(0)
+    value, loc, w = grid_inputs(rng, shapes, num_heads=2, head_dims=8, P=2,
+                                radius=2, jitter=1.5)
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_grid_pallas(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w),
+        radius=2, tile=tile, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_nonsquare_and_padding_tiles():
+    """Query grids that don't divide the tile exercise the padded-tile path."""
+    shapes = ((12, 20), (6, 10))
+    rng = np.random.default_rng(1)
+    value, loc, w = grid_inputs(rng, shapes, num_heads=2, head_dims=8, P=2,
+                                radius=2, jitter=1.5)
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_grid_pallas(jnp.asarray(value), shapes, jnp.asarray(loc),
+                           jnp.asarray(w), radius=2, tile=(8, 128), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
