@@ -1,0 +1,56 @@
+"""Native host library (C++) vs the Python implementations.
+
+Skipped when csrc/build/libcodetr_host.so has not been built
+(cmake -S csrc -B csrc/build && cmake --build csrc/build)."""
+
+import numpy as np
+import pytest
+
+from codetr_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(), reason="native host library not built"
+)
+
+
+def test_version():
+    lib = native.load_host_library()
+    assert lib.codetr_host_version() == b"codetr-tpu-host-0.1.0"
+
+
+def test_preprocess_matches_python():
+    from codetr_tpu.config import PreprocessConfig
+    from codetr_tpu.utils.preprocess import preprocess_numpy
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (48, 96, 3), np.uint8)
+    cfg = PreprocessConfig()
+    out_py, mask_py, sf_py, rs_py = preprocess_numpy(img, 64, 64, cfg)
+    out_c, mask_c, sf_c, rs_c = native.preprocess_native(img, 64, 64, cfg.mean, cfg.std)
+    assert rs_c == rs_py
+    assert sf_c == pytest.approx(sf_py)
+    np.testing.assert_array_equal(mask_c, mask_py)
+    # cv2 INTER_LINEAR uses fixed-point interpolation internally; allow small
+    # quantization differences
+    np.testing.assert_allclose(out_c, out_py, atol=2e-2)
+
+
+def test_nms_matches_python_oracle():
+    from tests.test_nms import np_nms, random_boxes
+
+    rng = np.random.default_rng(1)
+    boxes = np.tile(random_boxes(rng, 32), (2, 1))
+    scores = rng.uniform(0, 1, 64).astype(np.float32)
+    labels = np.repeat(np.array([0, 1], np.int32), 32)
+    keep_c = native.batched_nms_native(boxes, scores, labels, 0.5)
+    k0 = np_nms(boxes[:32], scores[:32], 0.5)
+    k1 = np_nms(boxes[32:], scores[32:], 0.5)
+    np.testing.assert_array_equal(keep_c, np.concatenate([k0, k1]))
+
+
+def test_nms_score_threshold():
+    boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float32)
+    scores = np.array([0.9, 0.05], np.float32)
+    labels = np.zeros(2, np.int32)
+    keep = native.batched_nms_native(boxes, scores, labels, 0.5, score_threshold=0.1)
+    assert keep.tolist() == [True, False]
