@@ -148,8 +148,50 @@ def _level_kernel(plans, P, d, TQy, TQx, n_lt, *refs):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _coarse_pair_xla(v_t, loc_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
+    """Exact XLA fallback for coarse-query -> fine-target pairs whose Pallas
+    window would blow up the unrolled kernel: TRUE rational anchors (so the
+    window needs only the valid-ratio drift margin), one constant-index
+    im2col gather, then an einsum contraction.  Kq here is tiny (<= ~1k
+    queries), so the materialized patches are small.
+
+    v_t (bh, Ht*Wt, d); loc_l (bh, P, 2, Kq); w_l (bh, P, Kq).
+    Returns (bh, d, Hq, Wq) fp32.
+    """
+    f32 = jnp.float32
+    W = 2 * R + 3
+    Kq = Hq * Wq
+    ay = np.floor((np.arange(Hq) + 0.5) * (Ht / Hq) - 0.5).astype(np.int64)
+    ax = np.floor((np.arange(Wq) + 0.5) * (Wt / Wq) - 0.5).astype(np.int64)
+
+    pad = R + 2
+    v_img = v_t.reshape(bh, Ht, Wt, d)
+    v_pad = jnp.pad(v_img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    Wtp = Wt + 2 * pad
+    # constant patch indices: (Kq, W, W) into the padded flat image
+    rows = (ay[:, None] + np.arange(W)[None, :] - (R + 1) + pad)  # (Hq, W)
+    cols = (ax[:, None] + np.arange(W)[None, :] - (R + 1) + pad)  # (Wq, W)
+    flat = (
+        rows[:, None, :, None] * Wtp + cols[None, :, None, :]
+    ).reshape(-1)  # (Kq*W*W,)
+    patch = jnp.take(v_pad.reshape(bh, -1, d), jnp.asarray(flat), axis=1)
+    patch = patch.reshape(bh, Kq, W, W, d).astype(f32)
+
+    pos_x = loc_l[:, :, 0].astype(f32) * Wt - 0.5  # (bh, P, Kq)
+    pos_y = loc_l[:, :, 1].astype(f32) * Ht - 0.5
+    ty = pos_y - jnp.asarray(np.repeat(ay, Wq), f32) + (R + 1.0)
+    tx = pos_x - jnp.asarray(np.tile(ax, Hq), f32) + (R + 1.0)
+    dpos = jnp.arange(W, dtype=f32)
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(ty[..., None] - dpos))  # (bh,P,Kq,W)
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(tx[..., None] - dpos))
+    m = jnp.einsum("bpqy,bpqx,bpq->bqyx", hy, hx, w_l.astype(f32))
+    out = jnp.einsum("bqyx,bqyxd->bqd", m, patch)  # (bh, Kq, d)
+    return out.reshape(bh, Hq, Wq, d).transpose(0, 3, 1, 2)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("spatial_shapes", "radius", "tile", "interpret")
+    jax.jit,
+    static_argnames=("spatial_shapes", "radius", "tile", "max_window", "interpret"),
 )
 def msda_grid_pallas(
     value: jax.Array,  # (bs, K, h, d)
@@ -159,6 +201,7 @@ def msda_grid_pallas(
     *,
     radius: int = 4,
     tile: Tuple[int, int] = (16, 128),
+    max_window: int = 31,
     interpret: bool = False,
 ) -> jax.Array:
     bs, K, h, d = value.shape
@@ -187,9 +230,24 @@ def msda_grid_pallas(
         plans = []
         u_arrays = []
         coord_arrays = []
+        coarse_parts = []
         for lt, (Ht, Wt) in enumerate(spatial_shapes):
             R = radius + pair_margin(lq, lt)
             from codetr_tpu.ops.msda_grid import _ideal_scale
+
+            if 2 * R + 3 > max_window:
+                # oversized window (coarse query -> much finer target): exact
+                # XLA im2col path with true anchors and a drift-only margin
+                t0 = int(lvl_start[lt])
+                v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
+                loc_l = jax.lax.slice_in_dim(loc, q0, q0 + Kq, axis=4)[:, lt]
+                w_l = jax.lax.slice_in_dim(attw, q0, q0 + Kq, axis=3)[:, lt]
+                coarse_parts.append(
+                    _coarse_pair_xla(
+                        v_t, loc_l, w_l, Hq, Wq, Ht, Wt, radius + 2, bh, d, P
+                    )
+                )
+                continue
 
             plan = _PairPlan(
                 lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp,
@@ -222,44 +280,51 @@ def msda_grid_pallas(
             )
             coord_arrays.append(cat)
 
-        max_fy = max(p.fy for p in plans)
-        max_fx = max(p.fx for p in plans)
-        max_by = max(p.by for p in plans)
-        max_bx = max(p.bx for p in plans)
+        n_inc = len(plans)
+        if n_inc:
+            max_fy = max(p.fy for p in plans)
+            max_fx = max(p.fx for p in plans)
+            max_by = max(p.by for p in plans)
+            max_bx = max(p.bx for p in plans)
 
-        kernel = functools.partial(
-            _level_kernel, plans, P, d, TQy, TQx, L
-        )
-        grid = (bh, nty, ntx)
-        in_specs = [
-            pl.BlockSpec(memory_space=pl.ANY) for _ in range(L)
-        ] + [
-            pl.BlockSpec(
-                (1, 3 * P, TQy, TQx),
-                lambda b, i, j: (b, 0, i, j),
-                memory_space=pltpu.VMEM,
+            kernel = functools.partial(
+                _level_kernel, plans, P, d, TQy, TQx, n_inc
             )
-            for _ in range(L)
-        ]
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, d, TQy, TQx), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
-            ),
-            out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), value.dtype),
-            scratch_shapes=[
-                pltpu.VMEM((max_fy, max_fx, d, max_by, max_bx), value.dtype),
-                pltpu.SemaphoreType.DMA,
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-            ),
-            interpret=interpret,
-        )(*u_arrays, *coord_arrays)
-        # (bh, d, Hqp, Wqp) -> (bs, Kq, h*d)
-        out = out[:, :, :Hq, :Wq].reshape(bs, h, d, Kq).transpose(0, 3, 1, 2)
+            grid = (bh, nty, ntx)
+            in_specs = [
+                pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_inc)
+            ] + [
+                pl.BlockSpec(
+                    (1, 3 * P, TQy, TQx),
+                    lambda b, i, j: (b, 0, i, j),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in range(n_inc)
+            ]
+            out = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (1, d, TQy, TQx), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
+                ),
+                out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), value.dtype),
+                scratch_shapes=[
+                    pltpu.VMEM((max_fy, max_fx, d, max_by, max_bx), value.dtype),
+                    pltpu.SemaphoreType.DMA,
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(*u_arrays, *coord_arrays)
+            out = out[:, :, :Hq, :Wq].astype(jnp.float32)
+        else:
+            out = jnp.zeros((bh, d, Hq, Wq), jnp.float32)
+        for part in coarse_parts:
+            out = out + part
+        # (bh, d, Hq, Wq) -> (bs, Kq, h*d)
+        out = out.astype(value.dtype).reshape(bs, h, d, Kq).transpose(0, 3, 1, 2)
         out_chunks.append(out.reshape(bs, Kq, h * d))
 
     return jnp.concatenate(out_chunks, axis=1)

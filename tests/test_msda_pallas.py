@@ -37,3 +37,18 @@ def test_pallas_nonsquare_and_padding_tiles():
     got = msda_grid_pallas(jnp.asarray(value), shapes, jnp.asarray(loc),
                            jnp.asarray(w), radius=2, tile=(8, 128), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_pallas_coarse_pair_xla_fallback():
+    """Pairs whose window exceeds max_window route through the exact XLA
+    im2col path; result must still match the oracle."""
+    shapes = ((32, 32), (16, 16), (8, 8), (4, 4))  # pair (3,0) margin 16
+    rng = np.random.default_rng(2)
+    value, loc, w = grid_inputs(rng, shapes, num_heads=2, head_dims=8, P=2,
+                                radius=2, jitter=1.5)
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_grid_pallas(jnp.asarray(value), shapes, jnp.asarray(loc),
+                           jnp.asarray(w), radius=2, tile=(8, 128),
+                           max_window=15, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
