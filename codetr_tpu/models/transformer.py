@@ -99,14 +99,20 @@ def apply_mask_to_proposal_and_memory(
 
 
 class DetrTransformerEncoderLayer(nn.Module):
-    """MSDA self-attn -> LN -> FFN -> LN (config co_dino_5scale_r50_lsj:70-79)."""
+    """MSDA self-attn -> LN -> FFN -> LN (config co_dino_5scale_r50_lsj:70-79).
+
+    ``spatial_shapes`` is a static module field so the layer is scan-friendly
+    (the 6 identical layers are driven by nn.scan with stacked params — the
+    layer body, including its Pallas kernels, is traced and compiled once
+    instead of six times)."""
 
     cfg: TransformerConfig
+    spatial_shapes: Shapes
     dtype: jnp.dtype = jnp.float32
     msda_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, query, query_pos, key_padding_mask, reference_points, spatial_shapes):
+    def __call__(self, query, query_pos, key_padding_mask, reference_points):
         query = MultiScaleDeformableAttention(
             cfg=self.cfg.encoder_layer.attn, dtype=self.dtype, impl=self.msda_impl,
             grid_queries=True, name="self_attn"
@@ -116,7 +122,7 @@ class DetrTransformerEncoderLayer(nn.Module):
             query_pos=query_pos,
             key_padding_mask=key_padding_mask,
             reference_points=reference_points,
-            spatial_shapes=spatial_shapes,
+            spatial_shapes=self.spatial_shapes,
         )
         query = layer_norm(query, dtype=self.dtype, name="norm1")
         query = FFN(
@@ -125,7 +131,8 @@ class DetrTransformerEncoderLayer(nn.Module):
             dtype=self.dtype,
             name="ffn",
         )(query)
-        return layer_norm(query, dtype=self.dtype, name="norm2")
+        query = layer_norm(query, dtype=self.dtype, name="norm2")
+        return query, None
 
 
 class DetrTransformerDecoderLayer(nn.Module):
@@ -265,17 +272,27 @@ class CoDinoTransformer(nn.Module):
         reference_points = get_reference_points(spatial_shapes, valid_ratios)  # (bs, K, 2)
         ref_by_level = reference_points[:, :, None, :] * valid_ratios[:, None]  # (bs, K, L, 2)
 
-        memory = feat_flat
-        for lid in range(c.num_encoder_layers):
-            memory = DetrTransformerEncoderLayer(
-                cfg=c, dtype=self.dtype, msda_impl=self.msda_impl, name=f"encoder_layers_{lid}"
-            )(
-                memory,
-                query_pos=pos_flat,
-                key_padding_mask=mask_flat,
-                reference_points=ref_by_level.astype(self.dtype),
-                spatial_shapes=spatial_shapes,
-            )
+        # encoder: nn.scan over 6 identical layers (stacked params; the
+        # Pallas-heavy body compiles once, not six times)
+        ScanEncoder = nn.scan(
+            DetrTransformerEncoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=c.num_encoder_layers,
+        )
+        memory, _ = ScanEncoder(
+            cfg=c,
+            spatial_shapes=spatial_shapes,
+            dtype=self.dtype,
+            msda_impl=self.msda_impl,
+            name="encoder_layers",
+        )(
+            feat_flat,
+            pos_flat,
+            mask_flat,
+            ref_by_level.astype(self.dtype),
+        )
 
         # --- two-stage proposal generation (transformer.py:549-562) ---
         output_proposals = make_encoder_output_proposals(

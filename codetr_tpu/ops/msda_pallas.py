@@ -93,13 +93,15 @@ def _build_u(value_lt, plan: _PairPlan, bh, d):
 
 
 def _level_kernel(plans, P, d, TQy, TQx, n_lt, *refs):
-    """refs: [u_0..u_{n-1} (ANY)], [txy_0..n-1 (VMEM blocked: (1, 3P, TQy, TQx))],
-    out (VMEM (1, d, TQy, TQx)), scratch u_vmem (max block), sem."""
+    """refs: [u_0..u_{n-1} (HBM)], [txy_0..n-1 (VMEM blocked: (1, 3P, TQy, TQx))],
+    out (VMEM (1, d, TQy, TQx)), scratch u_vmem (max halo block), rowstack
+    (W, d, TQy, bx) scratch, sem."""
     u_refs = refs[:n_lt]
     c_refs = refs[n_lt : 2 * n_lt]
     out_ref = refs[2 * n_lt]
     scratch = refs[2 * n_lt + 1]
-    sem = refs[2 * n_lt + 2]
+    rowstack = refs[2 * n_lt + 2]
+    sem = refs[2 * n_lt + 3]
 
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -125,26 +127,57 @@ def _level_kernel(plans, P, d, TQy, TQx, n_lt, *refs):
         txs = coords[0, P : 2 * P]
         wws = coords[0, 2 * P : 3 * P]
 
-        # static window sweep: Mosaic cannot prove alignment for dynamic
-        # sublane-dim slices, so dy/dx are unrolled with static (possibly
-        # unaligned) slice offsets.
         sdy, s0y, fy = plan.py.sigma_d, plan.py.s0, plan.fy
         sdx, s0x, fx = plan.px.sigma_d, plan.px.s0, plan.fx
-        for dy in range(W):
-            offy = sdy * dy + s0y
-            hys = [jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p] for p in range(P)]
-            for dx in range(W):
-                offx = sdx * dx + s0x
-                m = jnp.zeros((TQy, TQx), jnp.float32)
-                for p in range(P):
-                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
-                    m = m + hys[p] * hx
-                ry = offy // fy - plan.oy0
-                rx = offx // fx - plan.ox0
-                blk = scratch[
-                    offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx
-                ]  # (d, TQy, TQx)
-                acc = acc + m[None] * blk.astype(jnp.float32)
+
+        if fx == 1 and fy == 1:
+            # Common case (same-level or coarser target): pre-slice the W
+            # per-dy row bands (static stores), then a fori_loop over dy with
+            # a dynamic leading-axis read — the Mosaic program is O(W)
+            # statements instead of O(W^2).
+            for dy in range(W):
+                ry = sdy * dy + s0y - plan.oy0
+                rowstack[dy, :, :, :bx] = scratch[0, 0, :, ry : ry + TQy, :bx]
+
+            def dy_body(dy, acc):
+                dyf = dy.astype(jnp.float32)
+                hys = [
+                    jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - dyf)) * wws[p]
+                    for p in range(P)
+                ]
+                row = rowstack[dy]  # (d, TQy, bx_max)
+                for dx in range(W):
+                    rx = sdx * dx + s0x - plan.ox0
+                    m = jnp.zeros((TQy, TQx), jnp.float32)
+                    for p in range(P):
+                        hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
+                        m = m + hys[p] * hx
+                    acc = acc + m[None] * row[:, :, rx : rx + TQx].astype(jnp.float32)
+                return acc
+
+            acc = jax.lax.fori_loop(0, W, dy_body, acc)
+        else:
+            # finer-target pairs (phase-split strides): full static unroll —
+            # only modest windows reach here (bigger ones take the XLA
+            # im2col path, see msda_grid_pallas).
+            for dy in range(W):
+                offy = sdy * dy + s0y
+                hys = [
+                    jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
+                    for p in range(P)
+                ]
+                for dx in range(W):
+                    offx = sdx * dx + s0x
+                    m = jnp.zeros((TQy, TQx), jnp.float32)
+                    for p in range(P):
+                        hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
+                        m = m + hys[p] * hx
+                    ry = offy // fy - plan.oy0
+                    rx = offx // fx - plan.ox0
+                    blk = scratch[
+                        offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx
+                    ]  # (d, TQy, TQx)
+                    acc = acc + m[None] * blk.astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -292,7 +325,9 @@ def msda_grid_pallas(
             )
             grid = (bh, nty, ntx)
             in_specs = [
-                pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_inc)
+                # value slabs stay in HBM; the kernel DMAs halo blocks itself
+                # (ANY lets the compiler pick VMEM and blow the budget)
+                pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_inc)
             ] + [
                 pl.BlockSpec(
                     (1, 3 * P, TQy, TQx),
@@ -311,6 +346,15 @@ def msda_grid_pallas(
                 out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), value.dtype),
                 scratch_shapes=[
                     pltpu.VMEM((max_fy, max_fx, d, max_by, max_bx), value.dtype),
+                    pltpu.VMEM(
+                        (
+                            max((p.W for p in plans if p.fy == p.fx == 1), default=1),
+                            d,
+                            TQy,
+                            max((p.bx for p in plans if p.fy == p.fx == 1), default=128),
+                        ),
+                        value.dtype,
+                    ),
                     pltpu.SemaphoreType.DMA,
                 ],
                 compiler_params=pltpu.CompilerParams(

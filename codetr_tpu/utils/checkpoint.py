@@ -246,13 +246,28 @@ def _convert_head(tree: _ParamTree, sd, cfg: CoDETRConfig):
     _convert_ln(tree, sd, f"{t}.enc_output_norm", f"{dst}/enc_output_norm")
     tree.put(f"{dst}/query_embed", sd[f"{t}.query_embed.weight"])
 
-    for l in range(tc.num_encoder_layers):
-        src = f"{t}.encoder.layers.{l}"
-        d = f"{dst}/encoder_layers_{l}"
-        _convert_msda(tree, sd, f"{src}.attentions.0", f"{d}/self_attn")
-        _convert_ln(tree, sd, f"{src}.norms.0", f"{d}/norm1")
-        _convert_ln(tree, sd, f"{src}.norms.1", f"{d}/norm2")
-        _convert_ffn(tree, sd, f"{src}.ffns.0", f"{d}/ffn")
+    # encoder layers are scanned (nn.scan): leaves stacked on axis 0
+    def enc_stack(fn):
+        trees = []
+        for l in range(tc.num_encoder_layers):
+            sub = _ParamTree()
+            fn(sub, f"{t}.encoder.layers.{l}")
+            trees.append(sub.tree)
+        import jax
+
+        stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+        node = tree.tree
+        for p in f"{dst}/encoder_layers".split("/")[:-1]:
+            node = node.setdefault(p, {})
+        node["encoder_layers"] = stacked
+
+    def enc_layer(sub, src):
+        _convert_msda(sub, sd, f"{src}.attentions.0", "self_attn")
+        _convert_ln(sub, sd, f"{src}.norms.0", "norm1")
+        _convert_ln(sub, sd, f"{src}.norms.1", "norm2")
+        _convert_ffn(sub, sd, f"{src}.ffns.0", "ffn")
+
+    enc_stack(enc_layer)
 
     for l in range(tc.num_decoder_layers):
         src = f"{t}.decoder.layers.{l}"
