@@ -159,6 +159,74 @@ def multi_scale_deformable_attention_reference(
     return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
 
 
+@partial(jax.jit, static_argnames=("spatial_shapes",))
+def msda_pair_gather(
+    value: jax.Array,
+    spatial_shapes: Shapes,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Exact MSDA tuned for small query counts (decoder cross-attention,
+    900 queries): gathers each bilinear corner PAIR as one row of a
+    column-pair-packed table — half the gather rows of the 4-corner form,
+    and the measured TPU gather rate is row-count-bound, width-independent.
+    """
+    _check_shapes(value, spatial_shapes, sampling_locations, attention_weights)
+    bs, K, h, d = value.shape
+    Q = sampling_locations.shape[1]
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    f32 = jnp.promote_types(value.dtype, jnp.float32)
+
+    table = value.transpose(0, 2, 1, 3).reshape(bs * h * K, d)
+    # row k of table2 = [table[k], table[k+1]]; starts are clamped to N-2
+    table2 = jnp.concatenate([table, jnp.roll(table, -1, axis=0)], axis=1)
+
+    widths = np.asarray([w for _, w in spatial_shapes], np.int32)
+    heights = np.asarray([hh for hh, _ in spatial_shapes], np.int32)
+    lvl_start = np.concatenate([[0], np.cumsum([hh * w for hh, w in spatial_shapes])])[:-1]
+    Wl = jnp.asarray(widths)[None, None, :, None, None]
+    Hl = jnp.asarray(heights)[None, None, :, None, None]
+    start_l = jnp.asarray(lvl_start, jnp.int32)[None, None, :, None, None]
+    sizes_x = jnp.asarray(widths, f32)[None, None, :, None, None]
+    sizes_y = jnp.asarray(heights, f32)[None, None, :, None, None]
+    bh_off = (jnp.arange(bs * h, dtype=jnp.int32) * K).reshape(bs, h)[:, :, None, None, None]
+
+    coord_t = jnp.promote_types(sampling_locations.dtype, f32)
+    loc = sampling_locations.astype(coord_t).transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,Q)
+    attw = attention_weights.astype(f32).transpose(0, 2, 3, 4, 1)  # (bs,h,L,P,Q)
+
+    x = loc[..., 0, :] * sizes_x - 0.5
+    y = loc[..., 1, :] * sizes_y - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = (x - x0).astype(f32)
+    ty = (y - y0).astype(f32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    cs = jnp.clip(x0i, 0, Wl - 2)
+    d0 = (x0i - cs)[..., None]  # -1, 0, or 1
+
+    def wgt(xi, yi, wx, wy):
+        valid = (xi >= 0) & (xi < Wl) & (yi >= 0) & (yi < Hl)
+        return (wx * wy * valid.astype(f32) * attw)[..., None]
+
+    out = None
+    for cdy in (0, 1):
+        yi = y0i + cdy
+        starts = bh_off + start_l + jnp.clip(yi, 0, Hl - 1) * Wl + cs
+        rows = _take_rows(table2, starts.reshape(-1)).reshape(*starts.shape, 2 * d)
+        s0, s1 = rows[..., :d].astype(f32), rows[..., d:].astype(f32)
+        c_x0 = jnp.where(d0 == 0, s0, s1)
+        c_x1 = jnp.where(d0 == -1, s0, s1)
+        wy = ty if cdy == 1 else (1.0 - ty)
+        term = c_x0 * wgt(x0i, yi, 1.0 - tx, wy) + c_x1 * wgt(x0i + 1, yi, tx, wy)
+        out = term if out is None else out + term
+    out = out.sum(axis=(2, 3))  # (bs, h, Q, d)
+    return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
+
+
 def multi_scale_deformable_attention(
     value: jax.Array,
     spatial_shapes: Shapes,
@@ -181,7 +249,16 @@ def multi_scale_deformable_attention(
     grid_queries: queries are the level-concatenated pixel grid (encoder
       self-attention) — enables the gather-free paths.
     """
-    if impl == "reference" or (impl == "auto" and not grid_queries):
+    if impl == "auto" and not grid_queries:
+        # small query counts (decoder): pair-gather halves the row count
+        if sampling_locations.shape[1] <= 4096:
+            return msda_pair_gather(
+                value, spatial_shapes, sampling_locations, attention_weights
+            )
+        return multi_scale_deformable_attention_reference(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl == "reference":
         return multi_scale_deformable_attention_reference(
             value, spatial_shapes, sampling_locations, attention_weights
         )

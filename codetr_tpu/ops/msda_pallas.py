@@ -92,92 +92,51 @@ def _build_u(value_lt, plan: _PairPlan, bh, d):
     return u.transpose(0, 3, 5, 1, 2, 4)  # (bh, fy, fx, d, ny, nx)
 
 
-def _level_kernel(plans, P, d, TQy, TQx, n_lt, *refs):
-    """refs: [u_0..u_{n-1} (HBM)], [txy_0..n-1 (VMEM blocked: (1, 3P, TQy, TQx))],
-    out (VMEM (1, d, TQy, TQx)), scratch u_vmem (max halo block), rowstack
-    (W, d, TQy, bx) scratch, sem."""
-    u_refs = refs[:n_lt]
-    c_refs = refs[n_lt : 2 * n_lt]
-    out_ref = refs[2 * n_lt]
-    scratch = refs[2 * n_lt + 1]
-    rowstack = refs[2 * n_lt + 2]
-    sem = refs[2 * n_lt + 3]
-
+def _pair_kernel(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, scratch, sem):
+    """One (lq, lt) pair, one query tile: DMA the halo block, sweep the
+    window with static (possibly unaligned) slices.  Kernels are kept small
+    (one pair each, O(W^2) <= ~750 statements) — large Mosaic programs
+    compile pathologically and oversized live values spill past the 128MB
+    v5e VMEM."""
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
+    W = plan.W
+    by, bx = plan.by, plan.bx
+    row0 = ti * TQy + plan.oy0
+    col0 = tj * TQx + plan.ox0
+    src = u_ref.at[b, :, :, :, pl.ds(row0, by), pl.ds(col0, bx)]
+    cp = pltpu.make_async_copy(src, scratch, sem)
+    cp.start()
+    cp.wait()
+
+    coords = c_ref  # (1, 3P, TQy, TQx): [ty(P), tx(P), w(P)]
+    tys = coords[0, 0:P]
+    txs = coords[0, P : 2 * P]
+    wws = coords[0, 2 * P : 3 * P]
+
+    sdy, s0y, fy = plan.py.sigma_d, plan.py.s0, plan.fy
+    sdx, s0x, fx = plan.px.sigma_d, plan.px.s0, plan.fx
     acc = jnp.zeros((d, TQy, TQx), jnp.float32)
-    for lt in range(n_lt):
-        plan = plans[lt]
-        W = plan.W
-        by, bx = plan.by, plan.bx
-        # halo DMA: ny rows [ti*TQy + oy0, +by), nx cols [tj*TQx + ox0, +bx)
-        # (oy0/ox0 >= 0 by _AxisPlan padding)
-        row0 = ti * TQy + plan.oy0
-        col0 = tj * TQx + plan.ox0
-        src = u_refs[lt].at[b, :, :, :, pl.ds(row0, by), pl.ds(col0, bx)]
-        dst = scratch.at[: plan.fy, : plan.fx, :, :by, :bx]
-        cp = pltpu.make_async_copy(src, dst, sem)
-        cp.start()
-        cp.wait()
-
-        coords = c_refs[lt]  # (1, 3P, TQy, TQx): [ty(P), tx(P), w(P)]
-        tys = coords[0, 0:P]
-        txs = coords[0, P : 2 * P]
-        wws = coords[0, 2 * P : 3 * P]
-
-        sdy, s0y, fy = plan.py.sigma_d, plan.py.s0, plan.fy
-        sdx, s0x, fx = plan.px.sigma_d, plan.px.s0, plan.fx
-
-        if fx == 1 and fy == 1:
-            # Common case (same-level or coarser target): pre-slice the W
-            # per-dy row bands (static stores), then a fori_loop over dy with
-            # a dynamic leading-axis read — the Mosaic program is O(W)
-            # statements instead of O(W^2).
-            for dy in range(W):
-                ry = sdy * dy + s0y - plan.oy0
-                rowstack[dy, :, :, :bx] = scratch[0, 0, :, ry : ry + TQy, :bx]
-
-            def dy_body(dy, acc):
-                dyf = dy.astype(jnp.float32)
-                hys = [
-                    jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - dyf)) * wws[p]
-                    for p in range(P)
-                ]
-                row = rowstack[dy]  # (d, TQy, bx_max)
-                for dx in range(W):
-                    rx = sdx * dx + s0x - plan.ox0
-                    m = jnp.zeros((TQy, TQx), jnp.float32)
-                    for p in range(P):
-                        hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
-                        m = m + hys[p] * hx
-                    acc = acc + m[None] * row[:, :, rx : rx + TQx].astype(jnp.float32)
-                return acc
-
-            acc = jax.lax.fori_loop(0, W, dy_body, acc)
-        else:
-            # finer-target pairs (phase-split strides): full static unroll —
-            # only modest windows reach here (bigger ones take the XLA
-            # im2col path, see msda_grid_pallas).
-            for dy in range(W):
-                offy = sdy * dy + s0y
-                hys = [
-                    jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
-                    for p in range(P)
-                ]
-                for dx in range(W):
-                    offx = sdx * dx + s0x
-                    m = jnp.zeros((TQy, TQx), jnp.float32)
-                    for p in range(P):
-                        hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
-                        m = m + hys[p] * hx
-                    ry = offy // fy - plan.oy0
-                    rx = offx // fx - plan.ox0
-                    blk = scratch[
-                        offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx
-                    ]  # (d, TQy, TQx)
-                    acc = acc + m[None] * blk.astype(jnp.float32)
+    for dy in range(W):
+        offy = sdy * dy + s0y
+        hys = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
+            for p in range(P)
+        ]
+        for dx in range(W):
+            offx = sdx * dx + s0x
+            m = jnp.zeros((TQy, TQx), jnp.float32)
+            for p in range(P):
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
+                m = m + hys[p] * hx
+            ry = offy // fy - plan.oy0
+            rx = offx // fx - plan.ox0
+            blk = scratch[
+                offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx
+            ]  # (d, TQy, TQx)
+            acc = acc + m[None] * blk.astype(jnp.float32)
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -313,58 +272,38 @@ def msda_grid_pallas(
             )
             coord_arrays.append(cat)
 
-        n_inc = len(plans)
-        if n_inc:
-            max_fy = max(p.fy for p in plans)
-            max_fx = max(p.fx for p in plans)
-            max_by = max(p.by for p in plans)
-            max_bx = max(p.bx for p in plans)
-
-            kernel = functools.partial(
-                _level_kernel, plans, P, d, TQy, TQx, n_inc
-            )
-            grid = (bh, nty, ntx)
-            in_specs = [
-                # value slabs stay in HBM; the kernel DMAs halo blocks itself
-                # (ANY lets the compiler pick VMEM and blow the budget)
-                pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_inc)
-            ] + [
-                pl.BlockSpec(
-                    (1, 3 * P, TQy, TQx),
-                    lambda b, i, j: (b, 0, i, j),
-                    memory_space=pltpu.VMEM,
-                )
-                for _ in range(n_inc)
-            ]
-            out = pl.pallas_call(
+        out = jnp.zeros((bh, d, Hq, Wq), jnp.float32)
+        grid = (bh, nty, ntx)
+        for plan, u_arr, cat in zip(plans, u_arrays, coord_arrays):
+            kernel = functools.partial(_pair_kernel, plan, P, d, TQy, TQx)
+            pair_out = pl.pallas_call(
                 kernel,
                 grid=grid,
-                in_specs=in_specs,
+                in_specs=[
+                    # the value slab stays in HBM; the kernel DMAs its halo
+                    # block (ANY lets the compiler pick VMEM and blow the
+                    # scoped budget)
+                    pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec(
+                        (1, 3 * P, TQy, TQx),
+                        lambda b, i, j: (b, 0, i, j),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
                 out_specs=pl.BlockSpec(
                     (1, d, TQy, TQx), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
                 ),
-                out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), value.dtype),
+                out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), jnp.float32),
                 scratch_shapes=[
-                    pltpu.VMEM((max_fy, max_fx, d, max_by, max_bx), value.dtype),
-                    pltpu.VMEM(
-                        (
-                            max((p.W for p in plans if p.fy == p.fx == 1), default=1),
-                            d,
-                            TQy,
-                            max((p.bx for p in plans if p.fy == p.fx == 1), default=128),
-                        ),
-                        value.dtype,
-                    ),
+                    pltpu.VMEM((plan.fy, plan.fx, d, plan.by, plan.bx), value.dtype),
                     pltpu.SemaphoreType.DMA,
                 ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024,
                 ),
                 interpret=interpret,
-            )(*u_arrays, *coord_arrays)
-            out = out[:, :, :Hq, :Wq].astype(jnp.float32)
-        else:
-            out = jnp.zeros((bh, d, Hq, Wq), jnp.float32)
+            )(u_arr, cat)
+            out = out + pair_out[:, :, :Hq, :Wq]
         for part in coarse_parts:
             out = out + part
         # (bh, d, Hq, Wq) -> (bs, Kq, h*d)

@@ -81,3 +81,37 @@ def test_benchmark_helper(tiny):
     fn, example = compile_forward(model, params, height=64, width=64)
     stats = benchmark(fn, example, iterations=2, warmup=1)
     assert stats["device_ms_per_iter"] > 0
+
+
+def test_profiling_utilities(tiny):
+    from codetr_tpu.utils.profiling import cost_analysis, latency_report, save_hlo
+
+    cfg, model, params = tiny
+    fn = lambda x, m: model.apply(params, x, m)
+    import jax.numpy as jnp
+    args = (jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64)))
+    rep = latency_report(fn, args, iterations=2)
+    assert rep["device_compute_ms"] > 0 and rep["dispatch_ms"] >= 0
+    ca = cost_analysis(fn, args)
+    assert ca.get("flops", 0) > 0
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        p = save_hlo(fn, args, os.path.join(td, "model.hlo"))
+        assert os.path.getsize(p) > 1000
+
+
+def test_bf16_model_forward(tiny):
+    """bf16 compute policy produces finite, close-to-fp32 outputs."""
+    import jax, jax.numpy as jnp, numpy as np
+    from codetr_tpu.config import tiny_test_config
+    from codetr_tpu.models.codetr import CoDETR
+
+    cfg, model32, params = tiny
+    model16 = CoDETR(cfg=cfg, dtype=jnp.bfloat16, msda_impl="reference")
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 64, 64, 3)), jnp.float32)
+    m = jnp.zeros((1, 64, 64))
+    b32, s32, l32 = model32.apply(params, x, m)
+    b16, s16, l16 = model16.apply(params, x, m)
+    assert bool(jnp.all(jnp.isfinite(b16)))
+    # scores in [0,1]; bf16 noise flips top-k membership, so compare coarsely
+    assert abs(float(s16[0, 0]) - float(s32[0, 0])) < 0.2

@@ -127,3 +127,19 @@ def test_msda_grad_matches_torch():
     # random inputs avoid boundaries so tight tolerance is fine.
     np.testing.assert_allclose(np.asarray(gl), tl.grad.numpy(), atol=1e-8, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(ga), ta.grad.numpy(), atol=1e-10, rtol=0)
+
+
+def test_pair_gather_matches_reference():
+    """msda_pair_gather (decoder-tuned) vs the reference oracle, including
+    out-of-bounds and boundary-column taps."""
+    from codetr_tpu.ops.msda import msda_pair_gather
+
+    rng = np.random.default_rng(7)
+    value, shapes, loc, w = make_inputs(
+        rng, bs=2, num_heads=4, head_dims=8, Q=37, P=4,
+        spatial_shapes=((7, 5), (4, 3), (2, 2)), dtype=np.float32, oob_fraction=0.3,
+    )
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_pair_gather(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
