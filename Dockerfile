@@ -1,0 +1,26 @@
+# TPU-VM image for codetr_tpu (the analog of the reference's CUDA/TensorRT
+# Dockerfile).  Build on a Cloud TPU VM base; no GPU toolkits required — the
+# device compute path is JAX/Pallas, the host library is plain C++.
+FROM python:3.12-slim
+
+RUN apt-get update && apt-get install -y --no-install-recommends \
+        build-essential cmake git libgl1 libglib2.0-0 \
+    && rm -rf /var/lib/apt/lists/*
+
+# JAX with TPU support (libtpu comes from the jax[tpu] extra)
+RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
+    && pip install --no-cache-dir flax optax numpy opencv-python-headless pytest \
+    && pip install --no-cache-dir torch --index-url https://download.pytorch.org/whl/cpu
+
+WORKDIR /workspace/codetr_tpu
+COPY . .
+
+# native host library (preprocess + NMS) + its smoke test
+RUN cmake -S csrc -B csrc/build -DCMAKE_BUILD_TYPE=Release \
+    && cmake --build csrc/build -j \
+    && ./csrc/build/test_host
+
+# package install + CPU test suite (sharding tests run on a virtual mesh)
+RUN pip install --no-cache-dir -e . && python -m pytest tests/ -q
+
+ENTRYPOINT ["python", "export_aot.py"]

@@ -118,13 +118,19 @@ def _pair_kernel(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, scratch, sem):
 
     sdy, s0y, fy = plan.py.sigma_d, plan.py.s0, plan.fy
     sdx, s0x, fx = plan.px.sigma_d, plan.px.s0, plan.fx
-    acc = jnp.zeros((d, TQy, TQx), jnp.float32)
+    # accumulate one dy-row band in SSA (bounded live range), flush to the
+    # output ref once per dy: a single carried accumulator across the whole
+    # W^2-unrolled sweep makes Mosaic's register allocator keep enormous live
+    # ranges (observed 135MB spill slots), while per-position ref round-trips
+    # triple the VMEM traffic.
+    out_ref[0] = jnp.zeros((d, TQy, TQx), out_ref.dtype)
     for dy in range(W):
         offy = sdy * dy + s0y
         hys = [
             jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
             for p in range(P)
         ]
+        acc = jnp.zeros((d, TQy, TQx), jnp.float32)
         for dx in range(W):
             offx = sdx * dx + s0x
             m = jnp.zeros((TQy, TQx), jnp.float32)
@@ -137,7 +143,7 @@ def _pair_kernel(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, scratch, sem):
                 offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx
             ]  # (d, TQy, TQx)
             acc = acc + m[None] * blk.astype(jnp.float32)
-    out_ref[0] = acc.astype(out_ref.dtype)
+        out_ref[0] = out_ref[0] + acc.astype(out_ref.dtype)
 
 
 def _coarse_pair_xla(v_t, loc_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
@@ -176,8 +182,10 @@ def _coarse_pair_xla(v_t, loc_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
     dpos = jnp.arange(W, dtype=f32)
     hy = jnp.maximum(0.0, 1.0 - jnp.abs(ty[..., None] - dpos))  # (bh,P,Kq,W)
     hx = jnp.maximum(0.0, 1.0 - jnp.abs(tx[..., None] - dpos))
-    m = jnp.einsum("bpqy,bpqx,bpq->bqyx", hy, hx, w_l.astype(f32))
-    out = jnp.einsum("bqyx,bqyxd->bqd", m, patch)  # (bh, Kq, d)
+    m = jnp.einsum("bpqy,bpqx,bpq->bqyx", hy, hx, w_l.astype(f32),
+                   precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bqyx,bqyxd->bqd", m, patch,
+                     precision=jax.lax.Precision.HIGHEST)  # (bh, Kq, d)
     return out.reshape(bh, Hq, Wq, d).transpose(0, 3, 1, 2)
 
 
