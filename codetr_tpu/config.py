@@ -246,7 +246,7 @@ def tiny_test_config(num_levels: int = 5) -> CoDETRConfig:
     )
     swin = SwinConfig(
         embed_dims=8,
-        depths=(1, 1, 2, 1),
+        depths=(2, 2, 2, 2),  # even depths: stages scan over block pairs
         num_heads=(1, 2, 4, 8),
         window_size=4,
         pretrain_img_size=32,

@@ -252,9 +252,42 @@ class PatchMerging(nn.Module):
         return nn.Dense(self.out_channels, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="reduction")(x)
 
 
+class SwinBlockPair(nn.Module):
+    """One unshifted + one shifted block — the repeating unit of a Swin stage
+    (depths are even in every Swin config).  Scan-compatible body."""
+
+    embed_dims: int
+    num_heads: int
+    feedforward_channels: int
+    window_size: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array):
+        kw = dict(
+            embed_dims=self.embed_dims,
+            num_heads=self.num_heads,
+            feedforward_channels=self.feedforward_channels,
+            window_size=self.window_size,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            dtype=self.dtype,
+        )
+        x = SwinBlock(shift=False, name="block0", **kw)(x)
+        x = SwinBlock(shift=True, name="block1", **kw)(x)
+        return x, None
+
+
 class SwinTransformer(nn.Module):
     """4-stage hierarchical backbone -> NHWC maps at strides 4/8/16/32
-    (reference: codetr/swin.py:482-749)."""
+    (reference: codetr/swin.py:482-749).
+
+    Stages run as nn.scan over block PAIRS with stacked params, so the deep
+    stage-3 (18 blocks in Swin-L) traces/compiles one pair body instead of
+    eighteen blocks — XLA compile time for the full model would otherwise be
+    prohibitive."""
 
     cfg: SwinConfig
     dtype: jnp.dtype = jnp.float32
@@ -267,18 +300,23 @@ class SwinTransformer(nn.Module):
         outs = []
         dims = c.embed_dims
         for i, depth in enumerate(c.depths):
-            for b in range(depth):
-                x = SwinBlock(
-                    embed_dims=dims,
-                    num_heads=c.num_heads[i],
-                    feedforward_channels=c.mlp_ratio * dims,
-                    window_size=c.window_size,
-                    shift=(b % 2 == 1),
-                    qkv_bias=c.qkv_bias,
-                    qk_scale=c.qk_scale,
-                    dtype=self.dtype,
-                    name=f"stages_{i}_blocks_{b}",
-                )(x)
+            assert depth % 2 == 0, "Swin stage depths must be even"
+            ScanStage = nn.scan(
+                SwinBlockPair,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=depth // 2,
+            )
+            x, _ = ScanStage(
+                embed_dims=dims,
+                num_heads=c.num_heads[i],
+                feedforward_channels=c.mlp_ratio * dims,
+                window_size=c.window_size,
+                qkv_bias=c.qkv_bias,
+                qk_scale=c.qk_scale,
+                dtype=self.dtype,
+                name=f"stages_{i}_blocks",
+            )(x)
             if i in c.out_indices:
                 outs.append(layer_norm(x, dtype=self.dtype, name=f"norm{i}"))
             if i < len(c.depths) - 1:

@@ -150,23 +150,33 @@ def _convert_swin(tree: _ParamTree, sd, cfg: CoDETRConfig):
     tree.put("backbone/patch_embed/projection/bias", sd["backbone.patch_embed.projection.bias"])
     _convert_ln(tree, sd, "backbone.patch_embed.norm", "backbone/patch_embed/norm")
 
+    def swin_block(sub: _ParamTree, src: str, dst: str):
+        _convert_ln(sub, sd, f"{src}.norm1", f"{dst}/norm1")
+        _convert_ln(sub, sd, f"{src}.norm2", f"{dst}/norm2")
+        w = f"{src}.attn.w_msa"
+        table = np.asarray(sd[f"{w}.relative_position_bias_table"])
+        table = resize_bias_table(table, sc.window_size, sc.window_size)
+        sub.put(f"{dst}/attn/w_msa/relative_position_bias_table", table)
+        sub.put(f"{dst}/attn/w_msa/qkv/kernel", _t(sd[f"{w}.qkv.weight"]))
+        if f"{w}.qkv.bias" in sd:
+            sub.put(f"{dst}/attn/w_msa/qkv/bias", sd[f"{w}.qkv.bias"])
+        sub.put(f"{dst}/attn/w_msa/proj/kernel", _t(sd[f"{w}.proj.weight"]))
+        sub.put(f"{dst}/attn/w_msa/proj/bias", sd[f"{w}.proj.bias"])
+        _convert_ffn(sub, sd, f"{src}.ffn", f"{dst}/ffn")
+
+    import jax
+
     dims = sc.embed_dims
     for i, depth in enumerate(sc.depths):
-        for b in range(depth):
-            src = f"backbone.stages.{i}.blocks.{b}"
-            dst = f"backbone/stages_{i}_blocks_{b}"
-            _convert_ln(tree, sd, f"{src}.norm1", f"{dst}/norm1")
-            _convert_ln(tree, sd, f"{src}.norm2", f"{dst}/norm2")
-            w = f"{src}.attn.w_msa"
-            table = np.asarray(sd[f"{w}.relative_position_bias_table"])
-            table = resize_bias_table(table, sc.window_size, sc.window_size)
-            tree.put(f"{dst}/attn/w_msa/relative_position_bias_table", table)
-            tree.put(f"{dst}/attn/w_msa/qkv/kernel", _t(sd[f"{w}.qkv.weight"]))
-            if f"{w}.qkv.bias" in sd:
-                tree.put(f"{dst}/attn/w_msa/qkv/bias", sd[f"{w}.qkv.bias"])
-            tree.put(f"{dst}/attn/w_msa/proj/kernel", _t(sd[f"{w}.proj.weight"]))
-            tree.put(f"{dst}/attn/w_msa/proj/bias", sd[f"{w}.proj.bias"])
-            _convert_ffn(tree, sd, f"{src}.ffn", f"{dst}/ffn")
+        # stages are scanned over block pairs: leaves stacked on axis 0
+        pair_trees = []
+        for j in range(depth // 2):
+            sub = _ParamTree()
+            swin_block(sub, f"backbone.stages.{i}.blocks.{2 * j}", "block0")
+            swin_block(sub, f"backbone.stages.{i}.blocks.{2 * j + 1}", "block1")
+            pair_trees.append(sub.tree)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *pair_trees)
+        tree.tree.setdefault("backbone", {})[f"stages_{i}_blocks"] = stacked
         if i < len(sc.depths) - 1:
             src = f"backbone.stages.{i}.downsample"
             dst = f"backbone/stages_{i}_downsample"
