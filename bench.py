@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--msda-impl", default="auto")
+    ap.add_argument("--no-split", action="store_true",
+                    help="compile one monolithic executable (default: split "
+                    "backbone|head — the monolithic Swin-L graph exceeds the "
+                    "remote AOT transport limits)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,8 @@ def main():
         input_shape=(args.height, args.width),
     )
     fn, example = compile_forward(
-        model, params, height=args.height, width=args.width, dtype=dtype
+        model, params, height=args.height, width=args.width, dtype=dtype,
+        split=not args.no_split,
     )
     stats = benchmark(fn, example, iterations=args.iterations)
 

@@ -42,8 +42,17 @@ class CoDETR(nn.Module):
     def __call__(
         self, batch_inputs: jax.Array, img_masks: jax.Array
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        feats = self.features(batch_inputs)
+        return self.detect(feats, img_masks)
+
+    def features(self, batch_inputs: jax.Array):
+        """Backbone + neck (separately jittable: the monolithic Swin-L graph
+        exceeds what the remote AOT compile transport tolerates)."""
         feats = self.backbone(batch_inputs.astype(self.dtype))
-        feats = self.neck(feats)
+        return self.neck(feats)
+
+    def detect(self, feats, img_masks: jax.Array):
+        """Transformer head on neck features (separately jittable)."""
         return self.query_head(feats, img_masks)
 
 

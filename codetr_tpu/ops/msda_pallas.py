@@ -43,7 +43,8 @@ class _PairPlan:
     """Static per-(lq, lt) layout: axis plans, phase-split factors, halo
     block geometry for a (TQy, TQx) query tile."""
 
-    def __init__(self, lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp, ky, kx):
+    def __init__(self, lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp, ky, kx,
+                 sub_align: int = 8):
         # plans span the tile-PADDED query grid (Hqp, Wqp) so halo DMAs for
         # padded tiles stay in range; ky/kx are the scales from REAL sizes.
         self.R, self.W = R, 2 * R + 3
@@ -64,11 +65,12 @@ class _PairPlan:
         # lanes).  The dynamic part ti*TQy is a multiple of the tiling (TQy,
         # TQx are tile multiples); floor-align the static offset and absorb
         # the residue in the in-kernel static slice offsets.
-        self.oy0 = (int(self.oy.min()) // 8) * 8
+        # sub_align: sublane tile = 8 * (4 / itemsize) rows (16 for bf16)
+        self.oy0 = (int(self.oy.min()) // sub_align) * sub_align
         self.ox0 = (int(self.ox.min()) // 128) * 128
         # halo block extents for a (TQy, TQx) query tile, rounded up to the
         # VMEM tiling — Mosaic also requires aligned DMA slice shapes
-        self.by = -(-(TQy + int(self.oy.max()) - self.oy0) // 8) * 8
+        self.by = -(-(TQy + int(self.oy.max()) - self.oy0) // sub_align) * sub_align
         self.bx = -(-(TQx + int(self.ox.max()) - self.ox0) // 128) * 128
         # U extents (phase-split units) covering every tile's padded block
         nty = Hqp // TQy
@@ -221,7 +223,8 @@ def msda_grid_pallas(
     for lq, (Hq, Wq) in enumerate(spatial_shapes):
         Kq = Hq * Wq
         q0 = int(lvl_start[lq])
-        TQy = min(tile[0], max(8, Hq))
+        sub = 8 * (4 // value.dtype.itemsize)
+        TQy = min(max(tile[0], sub), max(sub, -(-Hq // sub) * sub))
         TQx = min(tile[1], max(128, Wq))
         nty = -(-Hq // TQy)
         ntx = -(-Wq // TQx)
@@ -249,9 +252,11 @@ def msda_grid_pallas(
                 )
                 continue
 
+            sub_align = 8 * (4 // value.dtype.itemsize)
             plan = _PairPlan(
                 lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp,
                 _ideal_scale(Hq, Ht), _ideal_scale(Wq, Wt),
+                sub_align=sub_align,
             )
             plans.append(plan)
             t0 = int(lvl_start[lt])

@@ -40,23 +40,49 @@ def compile_forward(
     batch_size: int = 1,
     dtype=jnp.float32,
     donate_inputs: bool = False,
+    split: bool = False,
 ):
     """jit + AOT-lower the model forward at a fixed static shape
     (the reference fixes shapes too: export.py:278-296, README.md:173-174).
 
     Returns (compiled_fn, example_args).  compiled_fn(batch_inputs, img_masks)
     closes over params (weights are baked like TRT engine weights).
+
+    split=True compiles backbone+neck and the transformer head as two
+    executables and chains them (async dispatch, no intermediate sync) — the
+    monolithic Swin-L graph exceeds the remote AOT compile transport's
+    limits; the pieces also cache independently.
     """
-
-    def fwd(batch_inputs, img_masks):
-        return model.apply(params, batch_inputs, img_masks)
-
-    jitted = jax.jit(fwd, donate_argnums=(0,) if donate_inputs else ())
     example = (
         jnp.zeros((batch_size, height, width, 3), dtype),
         jnp.zeros((batch_size, height, width), jnp.float32),
     )
-    return jitted, example
+    # params MUST be jit arguments, not captured constants: closed-over
+    # weights are baked into the HLO payload (871MB for Swin-L fp32), which
+    # bloats compile serialization and breaks the remote compile transport.
+    params = jax.device_put(params)
+
+    if not split:
+        jitted = jax.jit(
+            lambda p, x, m: model.apply(p, x, m),
+            donate_argnums=(1,) if donate_inputs else (),
+        )
+
+        def fwd(batch_inputs, img_masks):
+            return jitted(params, batch_inputs, img_masks)
+
+        return fwd, example
+
+    feat_jit = jax.jit(lambda p, x: model.apply(p, x, method=model.features))
+    head_jit = jax.jit(lambda p, f, m: model.apply(p, f, m, method=model.detect))
+    feat_fn = lambda x: feat_jit(params, x)
+    head_fn = lambda f, m: head_jit(params, f, m)
+
+    def fwd_split(batch_inputs, img_masks):
+        return head_fn(feat_fn(batch_inputs), img_masks)
+
+    fwd_split.split_parts = (feat_fn, head_fn)  # type: ignore[attr-defined]
+    return fwd_split, example
 
 
 def save_executable(
@@ -114,20 +140,32 @@ def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, 
     out = fn(*args)
     jax.block_until_ready(out)
 
-    first = jax.tree.leaves(out)[0]
+    if hasattr(fn, "split_parts"):
+        # split executables cannot be wrapped in one on-device loop (that
+        # would re-inline them into the monolithic graph); chain async
+        # dispatches and sync once — per-dispatch overhead pipelines away.
+        for _ in range(warmup):
+            out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0])
+        t0 = time.perf_counter()
+        for _ in range(iterations):
+            out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0])
+        device_ms = (time.perf_counter() - t0) / iterations * 1e3
+    else:
 
-    def loop(n, *a):
-        def body(i, c):
-            o = fn(*a)
-            return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
+        def loop(n, *a):
+            def body(i, c):
+                o = fn(*a)
+                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    looped = jax.jit(loop, static_argnums=0)
-    _ = np.asarray(looped(warmup, *args))
-    t0 = time.perf_counter()
-    _ = np.asarray(looped(iterations, *args))
-    device_ms = (time.perf_counter() - t0) / iterations * 1e3
+        looped = jax.jit(loop, static_argnums=0)
+        _ = np.asarray(looped(warmup, *args))
+        t0 = time.perf_counter()
+        _ = np.asarray(looped(iterations, *args))
+        device_ms = (time.perf_counter() - t0) / iterations * 1e3
 
     t0 = time.perf_counter()
     _ = np.asarray(jax.tree.leaves(fn(*args))[0])
