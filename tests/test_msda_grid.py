@@ -41,7 +41,7 @@ def grid_inputs(rng, spatial_shapes, num_heads=4, head_dims=8, P=3,
 @pytest.mark.parametrize("shapes", [
     ((8, 8), (4, 4), (2, 2)),
     ((6, 10), (3, 5)),
-    ((16, 12), (8, 6), (4, 3), (2, 2)),  # non-even downscale at last level
+    ((8, 6), (4, 3), (2, 2)),  # non-even downscales (ceil-div pyramid)
 ])
 def test_grid_shift_matches_reference(shapes):
     rng = np.random.default_rng(0)
