@@ -8,13 +8,16 @@ at 1152x768); this kernel holds the per-pair aligned value slab, the query
 tile coordinates, and the accumulator in VMEM, so the window sweep runs at
 VPU rate.
 
-Structure (one pallas_call per query level lq):
+Structure (one small pallas_call per (query level, target level) pair —
+large multi-pair Mosaic programs compile pathologically and spill past the
+128MB v5e VMEM; per-pair outputs are summed by XLA):
   grid = (bs*heads, q_tiles_y, q_tiles_x)
-  for each target level lt:                      # python loop, same kernel
-    DMA the tile's halo block of U_lt (HBM->VMEM)
-    for (dy, dx) in window(lq, lt):              # fori_loop, dynamic slices
-      m   = sum_p w_p * hat(ty_p - dy) * hat(tx_p - dx)   # bilinear splat
-      acc += m * U_block[phase(dy), phase(dx), :, slice, slice]
+  DMA the tile's halo block of U_lt (HBM->VMEM)
+  for (dy, dx) in window(lq, lt):                # static unroll
+    m   = sum_p w_p * hat(ty_p - dy) * hat(tx_p - dx)    # bilinear splat
+    acc += m * U_block[phase(dy), phase(dx), :, slice, slice]
+Pairs whose window exceeds max_window (coarse query -> much finer target)
+take the exact XLA im2col path (_coarse_pair_xla) instead.
 
 U_lt is the anchor-aligned target level built in XLA (zero-padded, nearest-
 repeated for coarser targets, phase-split for finer targets so all in-kernel
