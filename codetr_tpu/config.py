@@ -170,7 +170,14 @@ class HeadConfig:
     positional_encoding: PositionalEncodingConfig = field(default_factory=PositionalEncodingConfig)
     max_per_img: int = 300  # test_cfg[0].max_per_img
     use_sigmoid: bool = True  # QualityFocalLoss(use_sigmoid=True)
+    # test_cfg[0] postprocess (co_dino_5scale_r50_lsj:250-255): the flagship
+    # config runs soft-NMS at iou 0.8 with no score gate (the reference
+    # Inferencer reads score_thr=0 from test_cfg, inferencer.py:62-71)
+    nms_type: str = "soft_nms"  # "nms" | "soft_nms" | "soft_nms_gaussian"
     nms_iou_threshold: float = 0.8  # test_cfg[0].nms.iou_threshold
+    nms_sigma: float = 0.5  # mmcv soft_nms default
+    nms_min_score: float = 1e-3  # mmcv soft_nms default
+    score_threshold: float = 0.0  # test_cfg score_thr
 
 
 @dataclass(frozen=True)

@@ -68,16 +68,25 @@ class Inferencer:
         *,
         height: int,
         width: int,
-        score_threshold: float = 0.3,
-        iou_threshold: float = 0.5,
+        score_threshold: float | None = None,
+        iou_threshold: float | None = None,
+        nms_type: str | None = None,
         classes: Sequence[str] = COCO_CLASSES,
         compiled_fn=None,
     ):
         self.cfg = cfg
         self.height = height
         self.width = width
-        self.score_threshold = score_threshold
-        self.iou_threshold = iou_threshold
+        # defaults come from test_cfg via the config (reference reads
+        # test_cfg the same way, inferencer.py:62-71): score_thr 0, soft-NMS
+        # iou 0.8; explicit arguments override.
+        self.score_threshold = (
+            cfg.head.score_threshold if score_threshold is None else score_threshold
+        )
+        self.iou_threshold = (
+            cfg.head.nms_iou_threshold if iou_threshold is None else iou_threshold
+        )
+        self.nms_type = cfg.head.nms_type if nms_type is None else nms_type
         self.classes = list(classes)
 
         if compiled_fn is None:
@@ -91,6 +100,9 @@ class Inferencer:
                 score_threshold=self.score_threshold,
                 iou_threshold=self.iou_threshold,
                 scale_factor=sf,
+                nms_type=self.nms_type,
+                nms_sigma=cfg.head.nms_sigma,
+                nms_min_score=cfg.head.nms_min_score,
             )
         )
 

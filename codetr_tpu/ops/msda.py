@@ -205,8 +205,11 @@ def msda_pair_gather(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    cs = jnp.clip(x0i, 0, Wl - 2)
-    d0 = (x0i - cs)[..., None]  # -1, 0, or 1
+    # W==1 levels would give Wl-2 == -1 and a negative flat start fed to a
+    # PROMISE_IN_BOUNDS gather (UB) — clamp the pair start to >= 0; the
+    # validity weights already zero the contributions.
+    cs = jnp.clip(x0i, 0, jnp.maximum(Wl - 2, 0))
+    d0 = (x0i - cs)[..., None]  # -1, 0, or 1 (wider when Wl == 1; weights are 0 there)
 
     def wgt(xi, yi, wx, wy):
         valid = (xi >= 0) & (xi < Wl) & (yi >= 0) & (yi < Hl)

@@ -17,8 +17,9 @@ from codetr_tpu.parallel.train import TrainState, init_sharded_state, jit_train_
 
 def run_dryrun(n_devices: int, *, dp: int | None = None, tp: int | None = None) -> None:
     devices = jax.devices()[:n_devices]
+    n = len(devices)  # degrade gracefully if fewer devices exist than asked
     if tp is None:
-        tp = 2 if n_devices % 2 == 0 else 1
+        tp = 2 if (n % 2 == 0 and n >= 2) else 1
     mesh = make_mesh(dp=dp, tp=tp, devices=devices)
 
     cfg = tiny_test_config()

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--score-threshold", type=float, default=0.0)
     ap.add_argument("--iou-threshold", type=float, default=0.8)
+    ap.add_argument("--nms-type", default=None,
+                    choices=[None, "nms", "soft_nms", "soft_nms_gaussian"],
+                    help="default: the config's test_cfg NMS (soft_nms)")
     ap.add_argument("--max-images", type=int, default=None)
     ap.add_argument("--msda-impl", default="auto")
     args = ap.parse_args()
@@ -51,10 +54,13 @@ def main():
         input_shape=(args.height, args.width), batch_size=args.batch_size,
     )
     fwd = jax.jit(lambda x, m: model.apply(params, x, m))
+    nms_type = args.nms_type or cfg.head.nms_type
     post = jax.jit(
         lambda b, s, l, sf: postprocess_detections(
             b, s, l, score_threshold=args.score_threshold,
             iou_threshold=args.iou_threshold, scale_factor=None,
+            nms_type=nms_type, nms_sigma=cfg.head.nms_sigma,
+            nms_min_score=cfg.head.nms_min_score,
         )
     )
 
