@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from codetr_tpu.config import MSDAConfig
-from codetr_tpu.ops.msda import multi_scale_deformable_attention
+from codetr_tpu.ops.msda import (
+    msda_grid_qm,
+    msda_reference_qm,
+    multi_scale_deformable_attention,
+)
 
 
 def _grid_offset_bias(num_heads: int, num_levels: int, num_points: int) -> np.ndarray:
@@ -77,7 +81,7 @@ class MultiScaleDeformableAttention(nn.Module):
             v = jnp.where(key_padding_mask[..., None], 0.0, v)
         v = v.reshape(bs, num_value, c.num_heads, value_proj_size // c.num_heads)
 
-        offsets = nn.Dense(
+        raw_offsets = nn.Dense(
             c.num_heads * c.num_levels * c.num_points * 2,
             dtype=self.dtype,
             param_dtype=jnp.float32,
@@ -86,15 +90,63 @@ class MultiScaleDeformableAttention(nn.Module):
                 _grid_offset_bias(c.num_heads, c.num_levels, c.num_points), dtype
             ),
             name="sampling_offsets",
-        )(query).reshape(bs, num_query, c.num_heads, c.num_levels, c.num_points, 2)
+        )(query)  # (bs, nq, h*L*P*2)
 
-        attn = nn.Dense(
+        raw_attn = nn.Dense(
             c.num_heads * c.num_levels * c.num_points,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.zeros,
             name="attention_weights",
-        )(query).reshape(bs, num_query, c.num_heads, c.num_levels * c.num_points)
+        )(query)  # (bs, nq, h*L*P)
+
+        if self.grid_queries:
+            # Q-MINOR coordinate pipeline (encoder self-attention): the query
+            # axis stays MINOR through every coordinate tensor.  The standard
+            # (bs,Q,h,L,P,2) layout tile-pads its tiny trailing dims (P,2) ->
+            # (8,128) with up to 128x memory waste — measured ~140 ms/forward
+            # of pure layout traffic at 608x608 in round 1.  One clean
+            # (bs,K,F)->(bs,F,K) transpose here instead, then reshapes only
+            # split the MAJOR axis (free).  Coordinates are fp32: bf16 [0,1]
+            # locations quantize to ~0.6 px at stride-4 resolution.
+            h_, L_, P_ = c.num_heads, c.num_levels, c.num_points
+            K = num_query
+            f32 = jnp.float32
+            off_qm = (
+                raw_offsets.astype(f32).transpose(0, 2, 1).reshape(bs, h_, L_, P_, 2, K)
+            )
+            attn_qm = raw_attn.astype(f32).transpose(0, 2, 1).reshape(bs, h_, L_ * P_, K)
+            attn_qm = jax.nn.softmax(attn_qm, axis=2).reshape(bs, h_, L_, P_, K)
+
+            # reference points in q-minor layout (bs, L, 2, K)
+            assert reference_points.shape == (bs, L_, 2, K), reference_points.shape
+            norm_x = jnp.asarray([ww for _, ww in spatial_shapes], f32)
+            norm_y = jnp.asarray([hh for hh, _ in spatial_shapes], f32)
+            bcast = (None, None, slice(None), None, None)
+            x = (
+                reference_points[:, None, :, 0, None, :]
+                + off_qm[..., 0, :] / norm_x[bcast]
+            )
+            y = (
+                reference_points[:, None, :, 1, None, :]
+                + off_qm[..., 1, :] / norm_y[bcast]
+            )
+
+            if self.impl == "reference":
+                out = msda_reference_qm(v, spatial_shapes, x, y, attn_qm)
+            else:
+                out = msda_grid_qm(
+                    v, spatial_shapes, x, y, attn_qm,
+                    impl=self.impl, radius=self.grid_radius,
+                )
+            out = out.astype(self.dtype)
+            out = dense(c.embed_dims, "output_proj")(out)
+            return out + identity
+
+        offsets = raw_offsets.reshape(
+            bs, num_query, c.num_heads, c.num_levels, c.num_points, 2
+        )
+        attn = raw_attn.reshape(bs, num_query, c.num_heads, c.num_levels * c.num_points)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
         attn = attn.reshape(bs, num_query, c.num_heads, c.num_levels, c.num_points)
 
@@ -116,8 +168,7 @@ class MultiScaleDeformableAttention(nn.Module):
             raise ValueError(f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}")
 
         out = multi_scale_deformable_attention(
-            v, spatial_shapes, loc, attn,
-            impl=self.impl, grid_queries=self.grid_queries, grid_radius=self.grid_radius,
+            v, spatial_shapes, loc, attn, impl=self.impl, grid_queries=False,
         )
         out = dense(c.embed_dims, "output_proj")(out)
         return out + identity

@@ -46,10 +46,11 @@ def get_valid_ratio(mask: jax.Array) -> jax.Array:
     return jnp.stack([valid_w / W, valid_h / H], axis=-1)
 
 
-def get_reference_points(spatial_shapes: Shapes, valid_ratios: jax.Array) -> jax.Array:
-    """Per-key normalized center points (bs, K, 2) xy
-    (reference: get_reference_points, transformer.py:280-305)."""
-    bs = valid_ratios.shape[0]
+def get_reference_points_qm(spatial_shapes: Shapes, valid_ratios: jax.Array) -> jax.Array:
+    """Per-key normalized center points in Q-MINOR layout (bs, 2, K) xy
+    (reference: get_reference_points, transformer.py:280-305).  The query
+    axis stays minor so downstream coordinate math never materializes
+    tile-padded tiny trailing dims."""
     refs = []
     for lvl, (H, W) in enumerate(spatial_shapes):
         ref_y, ref_x = jnp.meshgrid(
@@ -59,8 +60,13 @@ def get_reference_points(spatial_shapes: Shapes, valid_ratios: jax.Array) -> jax
         )
         ref_y = ref_y.reshape(1, -1) / (valid_ratios[:, lvl, 1:2] * H)
         ref_x = ref_x.reshape(1, -1) / (valid_ratios[:, lvl, 0:1] * W)
-        refs.append(jnp.stack((ref_x, ref_y), axis=-1))  # (bs, HW, 2)
-    return jnp.concatenate(refs, axis=1)
+        refs.append(jnp.stack((ref_x, ref_y), axis=1))  # (bs, 2, HW)
+    return jnp.concatenate(refs, axis=2)
+
+
+def get_reference_points(spatial_shapes: Shapes, valid_ratios: jax.Array) -> jax.Array:
+    """Standard layout (bs, K, 2); derived from the q-minor form."""
+    return get_reference_points_qm(spatial_shapes, valid_ratios).transpose(0, 2, 1)
 
 
 def make_encoder_output_proposals(
@@ -269,8 +275,10 @@ class CoDinoTransformer(nn.Module):
         )
 
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in mlvl_masks], axis=1)  # (bs, L, 2)
-        reference_points = get_reference_points(spatial_shapes, valid_ratios)  # (bs, K, 2)
-        ref_by_level = reference_points[:, :, None, :] * valid_ratios[:, None]  # (bs, K, L, 2)
+        ref_qm = get_reference_points_qm(spatial_shapes, valid_ratios)  # (bs, 2, K)
+        reference_points = ref_qm.transpose(0, 2, 1)  # (bs, K, 2) for proposals
+        # q-minor per-level encoder reference points (bs, L, 2, K), fp32
+        ref_by_level_qm = ref_qm[:, None] * valid_ratios[:, :, :, None]
 
         # encoder: nn.scan over 6 identical layers (stacked params; the
         # Pallas-heavy body compiles once, not six times)
@@ -291,7 +299,7 @@ class CoDinoTransformer(nn.Module):
             feat_flat,
             pos_flat,
             mask_flat,
-            ref_by_level.astype(self.dtype),
+            ref_by_level_qm,  # fp32 q-minor: coordinate precision + layout
         )
 
         # --- two-stage proposal generation (transformer.py:549-562) ---

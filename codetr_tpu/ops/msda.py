@@ -76,32 +76,35 @@ def _take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes", "q_chunk"))
-def multi_scale_deformable_attention_reference(
+def msda_reference_qm(
     value: jax.Array,
     spatial_shapes: Shapes,
-    sampling_locations: jax.Array,
-    attention_weights: jax.Array,
+    x: jax.Array,  # (bs, h, L, P, Q) normalized x in [0,1]
+    y: jax.Array,  # (bs, h, L, P, Q) normalized y in [0,1]
+    w: jax.Array,  # (bs, h, L, P, Q) attention weights
     q_chunk: int = 8192,
 ) -> jax.Array:
-    """Exact MSDA (semantics of codetr/ops.py:129-186), flat-gather form.
+    """Exact MSDA (semantics of codetr/ops.py:129-186), flat-gather form, on
+    q-minor coordinates.
 
-    TPU layout notes: taps are processed in a tap-major layout (the large
-    query axis last — small trailing dims get tile-padded to (8, 128) with up
-    to 50x memory waste), and queries are chunked with ``lax.map`` so the
+    TPU layout notes: taps are processed in a tap-major/q-minor layout (the
+    large query axis last — small trailing dims get tile-padded to (8, 128)
+    with up to 50x memory waste; the model produces coordinates in this
+    layout end-to-end), and queries are chunked with ``lax.map`` so the
     materialized tap tensors stay bounded at encoder scale (~12M points).
     """
-    _check_shapes(value, spatial_shapes, sampling_locations, attention_weights)
     bs, K, h, d = value.shape
-    Q = sampling_locations.shape[1]
+    Q = x.shape[-1]
     L = len(spatial_shapes)
-    P = sampling_locations.shape[4]
+    P = x.shape[3]
+    assert x.shape == y.shape == w.shape == (bs, h, L, P, Q)
     f32 = jnp.promote_types(value.dtype, jnp.float32)
 
     table = value.transpose(0, 2, 1, 3).reshape(bs * h * K, d)
 
-    widths = np.asarray([w for _, w in spatial_shapes], np.int32)
+    widths = np.asarray([ww for _, ww in spatial_shapes], np.int32)
     heights = np.asarray([hh for hh, _ in spatial_shapes], np.int32)
-    lvl_start = np.concatenate([[0], np.cumsum([hh * w for hh, w in spatial_shapes])])[:-1]
+    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])[:-1]
     # broadcast shapes over (bs, h, L, P, Qc): level axis = 2
     Wl = jnp.asarray(widths)[None, None, :, None, None]
     Hl = jnp.asarray(heights)[None, None, :, None, None]
@@ -110,25 +113,27 @@ def multi_scale_deformable_attention_reference(
     sizes_y = jnp.asarray(heights, f32)[None, None, :, None, None]
     bh_off = (jnp.arange(bs * h, dtype=jnp.int32) * K).reshape(bs, h)[:, :, None, None, None]
 
-    # tap-major coordinate layout: (bs, h, L, P, Q)
-    coord_t = jnp.promote_types(sampling_locations.dtype, f32)
-    loc = sampling_locations.astype(coord_t).transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,Q)
-    attw = attention_weights.astype(f32).transpose(0, 2, 3, 4, 1)  # (bs,h,L,P,Q)
+    coord_t = jnp.promote_types(x.dtype, f32)
+    loc_x = x.astype(coord_t)
+    loc_y = y.astype(coord_t)
+    attw = w.astype(f32)
 
     qc = min(q_chunk, Q)
     n_chunks = -(-Q // qc)
     q_pad = n_chunks * qc
     if q_pad != Q:
-        loc = jnp.pad(loc, [(0, 0)] * 5 + [(0, q_pad - Q)])
-        attw = jnp.pad(attw, [(0, 0)] * 4 + [(0, q_pad - Q)])
-    # (n_chunks, bs, h, L, P, [2,] qc)
-    loc = jnp.moveaxis(loc.reshape(bs, h, L, P, 2, n_chunks, qc), 5, 0)
-    attw = jnp.moveaxis(attw.reshape(bs, h, L, P, n_chunks, qc), 4, 0)
+        pad = [(0, 0)] * 4 + [(0, q_pad - Q)]
+        loc_x, loc_y, attw = (jnp.pad(a, pad) for a in (loc_x, loc_y, attw))
+    # (n_chunks, bs, h, L, P, qc)
+    loc_x, loc_y, attw = (
+        jnp.moveaxis(a.reshape(bs, h, L, P, n_chunks, qc), 4, 0)
+        for a in (loc_x, loc_y, attw)
+    )
 
     def one_chunk(args):
-        loc_c, w_c = args  # (bs,h,L,P,2,qc), (bs,h,L,P,qc)
-        x = loc_c[..., 0, :] * sizes_x - 0.5  # (bs,h,L,P,qc)
-        y = loc_c[..., 1, :] * sizes_y - 0.5
+        x_c, y_c, w_c = args  # (bs,h,L,P,qc) each
+        x = x_c * sizes_x - 0.5  # (bs,h,L,P,qc)
+        y = y_c * sizes_y - 0.5
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         tx = (x - x0).astype(f32)
@@ -152,11 +157,29 @@ def multi_scale_deformable_attention_reference(
         return acc.sum(axis=(2, 3))
 
     if n_chunks == 1:
-        out = one_chunk((loc[0], attw[0]))[None]
+        out = one_chunk((loc_x[0], loc_y[0], attw[0]))[None]
     else:
-        out = jax.lax.map(one_chunk, (loc, attw))  # (n_chunks, bs, h, qc, d)
+        out = jax.lax.map(one_chunk, (loc_x, loc_y, attw))  # (n_chunks, bs, h, qc, d)
     out = jnp.moveaxis(out, 0, 2).reshape(bs, h, q_pad, d)[:, :, :Q]
     return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
+
+
+@partial(jax.jit, static_argnames=("spatial_shapes", "q_chunk"))
+def multi_scale_deformable_attention_reference(
+    value: jax.Array,
+    spatial_shapes: Shapes,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+    q_chunk: int = 8192,
+) -> jax.Array:
+    """Exact MSDA on the reference op layout (deformable_attention_torch.cpp
+    schema); thin wrapper transposing into the q-minor core."""
+    _check_shapes(value, spatial_shapes, sampling_locations, attention_weights)
+    loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,Q)
+    attw = attention_weights.transpose(0, 2, 3, 4, 1)  # (bs,h,L,P,Q)
+    return msda_reference_qm(
+        value, spatial_shapes, loc[..., 0, :], loc[..., 1, :], attw, q_chunk=q_chunk
+    )
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes",))
@@ -230,6 +253,61 @@ def msda_pair_gather(
     return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
 
 
+def msda_grid_qm(
+    value: jax.Array,
+    spatial_shapes: Shapes,
+    x: jax.Array,  # (bs, h, L, P, K) normalized x in [0,1]
+    y: jax.Array,  # (bs, h, L, P, K)
+    w: jax.Array,  # (bs, h, L, P, K) softmaxed weights
+    *,
+    impl: str = "auto",
+    radius: int = 4,
+    envelope: str = "correct",
+) -> jax.Array:
+    """Grid-query MSDA on q-minor coordinates, exact for ARBITRARY offsets.
+
+    The shift-window paths (ops/msda_grid.py, ops/msda_pallas.py) are exact
+    only for taps within their per-pair window envelope; trained checkpoints
+    produce unbounded learned offsets.  With ``envelope="correct"`` (the
+    default) taps outside the envelope are split off by weight masking and
+    routed through the flat-gather oracle inside a ``lax.cond`` — zero cost
+    when every tap is in-envelope (the predicate is False and the branch is
+    skipped at runtime), exact when not.  ``envelope="unchecked"`` skips the
+    guard (benchmarking only — silent truncation outside the envelope).
+    """
+    if impl == "auto":
+        impl = "grid_pallas" if jax.default_backend() == "tpu" else "grid"
+    from codetr_tpu.ops.msda_grid import envelope_mask, msda_grid_shift_qm
+    from codetr_tpu.ops.msda_pallas import msda_grid_pallas_qm
+
+    if impl == "grid":
+        grid_fn = partial(msda_grid_shift_qm, radius=radius)
+        max_window = None
+    elif impl == "grid_pallas":
+        grid_fn = partial(msda_grid_pallas_qm, radius=radius)
+        max_window = 31
+    else:
+        raise ValueError(f"unknown grid impl {impl!r}")
+
+    if envelope == "unchecked":
+        return grid_fn(value, spatial_shapes, x, y, w)
+    assert envelope == "correct", envelope
+
+    mask = envelope_mask(spatial_shapes, x, y, radius=radius, max_window=max_window)
+    w_in = jnp.where(mask, w, 0)
+    out = grid_fn(value, spatial_shapes, x, y, w_in)
+
+    def correction(_):
+        w_out = jnp.where(mask, 0, w)
+        return msda_reference_qm(value, spatial_shapes, x, y, w_out)
+
+    any_out = ~jnp.all(mask)
+    out = out + jax.lax.cond(
+        any_out, correction, lambda _: jnp.zeros_like(out), operand=None
+    )
+    return out
+
+
 def multi_scale_deformable_attention(
     value: jax.Array,
     spatial_shapes: Shapes,
@@ -239,6 +317,7 @@ def multi_scale_deformable_attention(
     impl: str = "auto",
     grid_queries: bool = False,
     grid_radius: int = 4,
+    envelope: str = "correct",
 ) -> jax.Array:
     """Dispatching entry point (the analog of the reference's CUDA-vs-CPU
     dispatch at codetr/multi_scale_deformable_attention.py:203-210).
@@ -250,7 +329,9 @@ def multi_scale_deformable_attention(
       - "auto": Pallas shift-window for grid queries on TPU, XLA shift-window
         for grid queries elsewhere, exact gather for non-grid queries.
     grid_queries: queries are the level-concatenated pixel grid (encoder
-      self-attention) — enables the gather-free paths.
+      self-attention) — enables the gather-free paths.  Grid paths carry the
+      out-of-envelope exact correction (see msda_grid_qm) unless
+      envelope="unchecked".
     """
     if impl == "auto" and not grid_queries:
         # small query counts (decoder): pair-gather halves the row count
@@ -266,20 +347,15 @@ def multi_scale_deformable_attention(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     assert grid_queries, f"impl={impl!r} requires grid queries"
-    if impl == "auto":
-        impl = "grid_pallas" if jax.default_backend() == "tpu" else "grid"
-    if impl == "grid":
-        from codetr_tpu.ops.msda_grid import msda_grid_shift
-
-        return msda_grid_shift(
-            value, spatial_shapes, sampling_locations, attention_weights,
-            radius=grid_radius,
-        )
-    if impl == "grid_pallas":
-        from codetr_tpu.ops.msda_pallas import msda_grid_pallas
-
-        return msda_grid_pallas(
-            value, spatial_shapes, sampling_locations, attention_weights,
-            radius=grid_radius,
-        )
-    raise ValueError(f"unknown impl {impl!r}")
+    loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,K)
+    attw = attention_weights.transpose(0, 2, 3, 4, 1)
+    return msda_grid_qm(
+        value,
+        spatial_shapes,
+        loc[..., 0, :],
+        loc[..., 1, :],
+        attw,
+        impl=impl,
+        radius=grid_radius,
+        envelope=envelope,
+    )

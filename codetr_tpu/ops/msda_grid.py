@@ -140,18 +140,71 @@ class _AxisPlan:
         return u
 
 
+def envelope_mask(
+    spatial_shapes: Shapes,
+    x: jax.Array,  # (bs, h, L, P, K) normalized x
+    y: jax.Array,  # (bs, h, L, P, K) normalized y
+    *,
+    radius: int = 4,
+    max_window: int | None = None,
+) -> jax.Array:
+    """True where a tap lies inside the shift-window sweep's exactness domain
+    for its (query level, target level) pair.
+
+    Taps with mask False contribute ZERO in the swept paths (their hats fall
+    outside the window) — the dispatcher (ops/msda.py msda_grid_qm) routes
+    exactly those taps through the flat-gather oracle so the combined result
+    is exact for arbitrary learned offsets (trained checkpoints have
+    unbounded offsets; the offsets head is a plain Linear,
+    multi_scale_deformable_attention.py:97-115 covers only the init).
+
+    ``max_window``: mirror of the Pallas kernel's coarse-pair escape — pairs
+    whose idealized window exceeds it use TRUE rational anchors and the
+    drift-only margin (msda_pallas._coarse_pair_xla).
+    """
+    L = len(spatial_shapes)
+    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
+    parts = []
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        Kq = Hq * Wq
+        q0 = int(lvl_start[lq])
+        xq = jax.lax.slice_in_dim(x, q0, q0 + Kq, axis=4).astype(jnp.float32)
+        yq = jax.lax.slice_in_dim(y, q0, q0 + Kq, axis=4).astype(jnp.float32)
+        lvl_masks = []
+        for lt, (Ht, Wt) in enumerate(spatial_shapes):
+            R = radius + pair_margin(lq, lt)
+            if max_window is not None and 2 * R + 3 > max_window:
+                # coarse-pair XLA path: true anchors, drift-only margin
+                R = radius + 2
+                ay = np.floor((np.arange(Hq) + 0.5) * (Ht / Hq) - 0.5)
+                ax = np.floor((np.arange(Wq) + 0.5) * (Wt / Wq) - 0.5)
+            else:
+                ay = _anchor(np.arange(Hq), Hq, Ht).astype(np.float64)
+                ax = _anchor(np.arange(Wq), Wq, Wt).astype(np.float64)
+            W_POS = 2 * R + 3
+            ay = jnp.asarray(np.repeat(ay, Wq), jnp.float32)
+            ax = jnp.asarray(np.tile(ax, Hq), jnp.float32)
+            tx = xq[:, :, lt] * Wt - 0.5 - ax + (R + 1.0)  # (bs, h, P, Kq)
+            ty = yq[:, :, lt] * Ht - 0.5 - ay + (R + 1.0)
+            ok = (tx >= 0) & (tx <= W_POS - 1) & (ty >= 0) & (ty <= W_POS - 1)
+            lvl_masks.append(ok)
+        parts.append(jnp.stack(lvl_masks, axis=2))  # (bs, h, L, P, Kq)
+    return jnp.concatenate(parts, axis=4)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "radius"))
-def msda_grid_shift(
+def msda_grid_shift_qm(
     value: jax.Array,  # (bs, K, h, d)
     spatial_shapes: Shapes,
-    sampling_locations: jax.Array,  # (bs, Q=K, h, L, P, 2) in [0,1]
-    attention_weights: jax.Array,  # (bs, Q=K, h, L, P)
+    x: jax.Array,  # (bs, h, L, P, K) normalized x in [0,1]
+    y: jax.Array,  # (bs, h, L, P, K)
+    w: jax.Array,  # (bs, h, L, P, K)
     *,
     radius: int = 4,
 ) -> jax.Array:
     bs, K, h, d = value.shape
-    Q, P = sampling_locations.shape[1], sampling_locations.shape[4]
-    assert Q == K, "msda_grid_shift requires queries == the key grid"
+    P = x.shape[3]
+    assert x.shape[-1] == K, "grid MSDA requires queries == the key grid"
     f32 = jnp.float32
 
     # TPU layout note: all big arrays keep the query grid (Hq, Wq) as the two
@@ -162,11 +215,9 @@ def msda_grid_shift(
     for lq, (Hq, Wq) in enumerate(spatial_shapes):
         Kq = Hq * Wq
         q0 = int(lvl_start[lq])
-        loc_q = jax.lax.slice_in_dim(sampling_locations, q0, q0 + Kq, axis=1)
-        w_q = jax.lax.slice_in_dim(attention_weights, q0, q0 + Kq, axis=1)
-        # (bs, h, P, L, 2|1, Kq) coordinate layout
-        loc_q = loc_q.transpose(0, 2, 4, 3, 5, 1)  # (bs, h, P, L, 2, Kq)
-        w_all = w_q.transpose(0, 2, 4, 3, 1)  # (bs, h, P, L, Kq)
+        xq = jax.lax.slice_in_dim(x, q0, q0 + Kq, axis=4)  # (bs, h, L, P, Kq)
+        yq = jax.lax.slice_in_dim(y, q0, q0 + Kq, axis=4)
+        wq = jax.lax.slice_in_dim(w, q0, q0 + Kq, axis=4)
 
         acc = jnp.zeros((bs, h, d, Hq, Wq), f32)
         for lt, (Ht, Wt) in enumerate(spatial_shapes):
@@ -187,11 +238,11 @@ def msda_grid_shift(
             anch_y = jnp.broadcast_to(anch_y[:, None], (Hq, Wq)).reshape(-1)
             anch_x = jnp.broadcast_to(anch_x[None, :], (Hq, Wq)).reshape(-1)
 
-            pos_x = loc_q[:, :, :, lt, 0].astype(f32) * Wt - 0.5  # (bs, h, P, Kq)
-            pos_y = loc_q[:, :, :, lt, 1].astype(f32) * Ht - 0.5
+            pos_x = xq[:, :, lt].astype(f32) * Wt - 0.5  # (bs, h, P, Kq)
+            pos_y = yq[:, :, lt].astype(f32) * Ht - 0.5
             tx = pos_x - anch_x + (R + 1.0)  # window coords in [0, W_POS)
             ty = pos_y - anch_y + (R + 1.0)
-            ww = w_all[:, :, :, lt].astype(f32)  # (bs, h, P, Kq)
+            ww = wq[:, :, lt].astype(f32)  # (bs, h, P, Kq)
 
             for dy in range(W_POS):
                 hy = jnp.maximum(0.0, 1.0 - jnp.abs(ty - dy)) * ww  # (bs,h,P,Kq)
@@ -220,3 +271,21 @@ def msda_grid_shift(
 
     out = jnp.concatenate(out_chunks, axis=1)
     return out.astype(value.dtype).reshape(bs, K, h * d)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "radius"))
+def msda_grid_shift(
+    value: jax.Array,  # (bs, K, h, d)
+    spatial_shapes: Shapes,
+    sampling_locations: jax.Array,  # (bs, Q=K, h, L, P, 2) in [0,1]
+    attention_weights: jax.Array,  # (bs, Q=K, h, L, P)
+    *,
+    radius: int = 4,
+) -> jax.Array:
+    """Reference-layout wrapper over the q-minor core."""
+    assert sampling_locations.shape[1] == value.shape[1]
+    loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,K)
+    attw = attention_weights.transpose(0, 2, 3, 4, 1)
+    return msda_grid_shift_qm(
+        value, spatial_shapes, loc[..., 0, :], loc[..., 1, :], attw, radius=radius
+    )

@@ -151,14 +151,14 @@ def _pair_kernel(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, scratch, sem):
         out_ref[0] = out_ref[0] + acc.astype(out_ref.dtype)
 
 
-def _coarse_pair_xla(v_t, loc_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
+def _coarse_pair_xla(v_t, x_l, y_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
     """Exact XLA fallback for coarse-query -> fine-target pairs whose Pallas
     window would blow up the unrolled kernel: TRUE rational anchors (so the
     window needs only the valid-ratio drift margin), one constant-index
     im2col gather, then an einsum contraction.  Kq here is tiny (<= ~1k
     queries), so the materialized patches are small.
 
-    v_t (bh, Ht*Wt, d); loc_l (bh, P, 2, Kq); w_l (bh, P, Kq).
+    v_t (bh, Ht*Wt, d); x_l/y_l/w_l (bh, P, Kq).
     Returns (bh, d, Hq, Wq) fp32.
     """
     f32 = jnp.float32
@@ -180,8 +180,8 @@ def _coarse_pair_xla(v_t, loc_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
     patch = jnp.take(v_pad.reshape(bh, -1, d), jnp.asarray(flat), axis=1)
     patch = patch.reshape(bh, Kq, W, W, d).astype(f32)
 
-    pos_x = loc_l[:, :, 0].astype(f32) * Wt - 0.5  # (bh, P, Kq)
-    pos_y = loc_l[:, :, 1].astype(f32) * Ht - 0.5
+    pos_x = x_l.astype(f32) * Wt - 0.5  # (bh, P, Kq)
+    pos_y = y_l.astype(f32) * Ht - 0.5
     ty = pos_y - jnp.asarray(np.repeat(ay, Wq), f32) + (R + 1.0)
     tx = pos_x - jnp.asarray(np.tile(ax, Hq), f32) + (R + 1.0)
     dpos = jnp.arange(W, dtype=f32)
@@ -198,11 +198,12 @@ def _coarse_pair_xla(v_t, loc_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
     jax.jit,
     static_argnames=("spatial_shapes", "radius", "tile", "max_window", "interpret"),
 )
-def msda_grid_pallas(
+def msda_grid_pallas_qm(
     value: jax.Array,  # (bs, K, h, d)
     spatial_shapes: Shapes,
-    sampling_locations: jax.Array,  # (bs, K, h, L, P, 2)
-    attention_weights: jax.Array,  # (bs, K, h, L, P)
+    x: jax.Array,  # (bs, h, L, P, K) normalized x in [0,1]
+    y: jax.Array,  # (bs, h, L, P, K)
+    w: jax.Array,  # (bs, h, L, P, K)
     *,
     radius: int = 4,
     tile: Tuple[int, int] = (16, 128),
@@ -211,15 +212,16 @@ def msda_grid_pallas(
 ) -> jax.Array:
     bs, K, h, d = value.shape
     L = len(spatial_shapes)
-    P = sampling_locations.shape[4]
-    assert sampling_locations.shape[1] == K
+    P = x.shape[3]
+    assert x.shape[-1] == K
     bh = bs * h
     f32 = jnp.float32
 
     value_hm = value.transpose(0, 2, 1, 3).reshape(bh, K, d)
-    # coordinate layout (bh, L, P, 2|1, K)
-    loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1).reshape(bh, L, P, 2, K)
-    attw = attention_weights.transpose(0, 2, 3, 4, 1).reshape(bh, L, P, K)
+    # coordinate layout (bh, L, P, K) — already q-minor from the module
+    loc_x = x.reshape(bh, L, P, K)
+    loc_y = y.reshape(bh, L, P, K)
+    attw = w.reshape(bh, L, P, K)
 
     lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
     out_chunks = []
@@ -246,11 +248,12 @@ def msda_grid_pallas(
                 # XLA im2col path with true anchors and a drift-only margin
                 t0 = int(lvl_start[lt])
                 v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
-                loc_l = jax.lax.slice_in_dim(loc, q0, q0 + Kq, axis=4)[:, lt]
+                x_l = jax.lax.slice_in_dim(loc_x, q0, q0 + Kq, axis=3)[:, lt]
+                y_l = jax.lax.slice_in_dim(loc_y, q0, q0 + Kq, axis=3)[:, lt]
                 w_l = jax.lax.slice_in_dim(attw, q0, q0 + Kq, axis=3)[:, lt]
                 coarse_parts.append(
                     _coarse_pair_xla(
-                        v_t, loc_l, w_l, Hq, Wq, Ht, Wt, radius + 2, bh, d, P
+                        v_t, x_l, y_l, w_l, Hq, Wq, Ht, Wt, radius + 2, bh, d, P
                     )
                 )
                 continue
@@ -271,10 +274,11 @@ def msda_grid_pallas(
             ay = jnp.asarray(np.broadcast_to(anch_y[:, None], (Hq, Wq)))
             ax = jnp.asarray(np.broadcast_to(anch_x[None, :], (Hq, Wq)))
 
-            loc_l = jax.lax.slice_in_dim(loc, q0, q0 + Kq, axis=4)[:, lt]  # (bh,P,2,Kq)
+            x_l = jax.lax.slice_in_dim(loc_x, q0, q0 + Kq, axis=3)[:, lt]  # (bh,P,Kq)
+            y_l = jax.lax.slice_in_dim(loc_y, q0, q0 + Kq, axis=3)[:, lt]
             w_l = jax.lax.slice_in_dim(attw, q0, q0 + Kq, axis=3)[:, lt]  # (bh,P,Kq)
-            pos_x = loc_l[:, :, 0].astype(f32).reshape(bh, P, Hq, Wq) * Wt - 0.5
-            pos_y = loc_l[:, :, 1].astype(f32).reshape(bh, P, Hq, Wq) * Ht - 0.5
+            pos_x = x_l.astype(f32).reshape(bh, P, Hq, Wq) * Wt - 0.5
+            pos_y = y_l.astype(f32).reshape(bh, P, Hq, Wq) * Ht - 0.5
             ty = pos_y - ay + (R + 1.0)
             tx = pos_x - ax + (R + 1.0)
             ww = w_l.reshape(bh, P, Hq, Wq).astype(f32)
@@ -327,3 +331,34 @@ def msda_grid_pallas(
         out_chunks.append(out.reshape(bs, Kq, h * d))
 
     return jnp.concatenate(out_chunks, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spatial_shapes", "radius", "tile", "max_window", "interpret"),
+)
+def msda_grid_pallas(
+    value: jax.Array,  # (bs, K, h, d)
+    spatial_shapes: Shapes,
+    sampling_locations: jax.Array,  # (bs, K, h, L, P, 2)
+    attention_weights: jax.Array,  # (bs, K, h, L, P)
+    *,
+    radius: int = 4,
+    tile: Tuple[int, int] = (16, 128),
+    max_window: int = 31,
+    interpret: bool = False,
+) -> jax.Array:
+    """Reference-layout wrapper over the q-minor core."""
+    loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,K)
+    attw = attention_weights.transpose(0, 2, 3, 4, 1)
+    return msda_grid_pallas_qm(
+        value,
+        spatial_shapes,
+        loc[..., 0, :],
+        loc[..., 1, :],
+        attw,
+        radius=radius,
+        tile=tile,
+        max_window=max_window,
+        interpret=interpret,
+    )
