@@ -50,14 +50,8 @@ class CoDINOHead(nn.Module):
             cfg=c.transformer, dtype=self.dtype, msda_impl=self.msda_impl, name="transformer"
         )
 
-    def __call__(
-        self,
-        mlvl_feats: Sequence[jax.Array],  # NHWC feature maps
-        img_masks: jax.Array,  # (bs, H, W) float, 1 = padded
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    def _run_transformer(self, mlvl_feats, img_masks):
         c = self.cfg
-        image_height, image_width = img_masks.shape[-2:]
-
         mlvl_masks = []
         mlvl_pos = []
         for feat in mlvl_feats:
@@ -67,13 +61,43 @@ class CoDINOHead(nn.Module):
             mlvl_masks.append(m)
             mlvl_pos.append(sine_positional_encoding(m, c.positional_encoding, dtype=self.dtype))
 
-        final_state, final_refs_unact = self.transformer(
+        return self.transformer(
             mlvl_feats,
             mlvl_masks,
             mlvl_pos,
             reg_branches=self.reg_branches,
             cls_branches=self.cls_branches,
         )
+
+    def raw_predictions(self, mlvl_feats, img_masks):
+        """Training-path outputs: per-decoder-layer class logits and box
+        predictions plus the encoder (two-stage) predictions — the tensors
+        mmdet's DINO head supervises (all_layers_outputs_classes/coords)."""
+        _, _, aux = self._run_transformer(mlvl_feats, img_masks)
+        states = aux["inter_states"]  # (nl, bs, nq, C)
+        nl = states.shape[0]
+        all_cls = jnp.stack(
+            [self.cls_branches[i](states[i]).astype(jnp.float32) for i in range(nl)]
+        )  # (nl, bs, nq, ncls) logits
+        all_coords = jax.nn.sigmoid(
+            aux["inter_refs_unact"].astype(jnp.float32)
+        )  # (nl, bs, nq, 4) cxcywh in [0,1]
+        return {
+            "all_cls_logits": all_cls,
+            "all_coords": all_coords,
+            "enc_cls_logits": aux["enc_class"].astype(jnp.float32),
+            "enc_coords": jax.nn.sigmoid(aux["enc_coord_unact"].astype(jnp.float32)),
+        }
+
+    def __call__(
+        self,
+        mlvl_feats: Sequence[jax.Array],  # NHWC feature maps
+        img_masks: jax.Array,  # (bs, H, W) float, 1 = padded
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        c = self.cfg
+        image_height, image_width = img_masks.shape[-2:]
+
+        final_state, final_refs_unact, _ = self._run_transformer(mlvl_feats, img_masks)
 
         lvl = c.transformer.num_decoder_layers - 1
         outputs_classes = self.cls_branches[lvl](final_state)  # (bs, nq, num_classes)

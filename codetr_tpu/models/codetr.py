@@ -55,6 +55,13 @@ class CoDETR(nn.Module):
         """Transformer head on neck features (separately jittable)."""
         return self.query_head(feats, img_masks)
 
+    def train_outputs(self, batch_inputs: jax.Array, img_masks: jax.Array):
+        """Pre-topk per-layer predictions for the training losses
+        (parallel/losses.py): per-decoder-layer + encoder-stage class logits
+        and cxcywh boxes."""
+        feats = self.features(batch_inputs)
+        return self.query_head.raw_predictions(feats, img_masks)
+
 
 def build_codetr(
     cfg: CoDETRConfig,

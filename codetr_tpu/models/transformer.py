@@ -208,6 +208,8 @@ class DinoTransformerDecoder(nn.Module):
         )
 
         output = query
+        inter_states = []
+        inter_refs = []
         for lid in range(c.num_decoder_layers):
             ref_sig = jax.nn.sigmoid(reference_points.astype(jnp.float32))
             vr = jnp.concatenate([valid_ratios, valid_ratios], axis=-1)  # (bs, L, 4)
@@ -230,11 +232,20 @@ class DinoTransformerDecoder(nn.Module):
             )
 
             # iterative refinement in unactivated space
-            # (reference: transformer.py:223-226)
+            # (reference: transformer.py:223-226); per-layer refs equal
+            # reg_branches[lid](state) + inverse_sigmoid(ref_in) — exactly the
+            # per-layer coordinate predictions mmdet's DINO head supervises
             reference_points = reg_branches[lid](output) + reference_points
+            inter_states.append(output)
+            inter_refs.append(reference_points)
 
-        output = layer_norm(output, dtype=self.dtype, name="norm")
-        return output, reference_points
+        # the shared final LayerNorm is applied to every intermediate state
+        # for aux supervision (mmdet DinoTransformerDecoder return_intermediate)
+        stacked = layer_norm(
+            jnp.stack(inter_states, axis=0), dtype=self.dtype, name="norm"
+        )  # (n_layers, bs, nq, C)
+        output = stacked[-1]
+        return output, reference_points, stacked, jnp.stack(inter_refs, axis=0)
 
 
 class CoDinoTransformer(nn.Module):
@@ -332,7 +343,7 @@ class CoDinoTransformer(nn.Module):
         )
         query = jnp.broadcast_to(query_embed[None].astype(self.dtype), (bs, topk, c.embed_dims))
 
-        final_state, final_refs_unact = DinoTransformerDecoder(
+        final_state, final_refs_unact, inter_states, inter_refs = DinoTransformerDecoder(
             cfg=c, dtype=self.dtype, msda_impl=self.msda_impl, name="decoder"
         )(
             query,
@@ -343,4 +354,11 @@ class CoDinoTransformer(nn.Module):
             valid_ratios=valid_ratios,
             reg_branches=reg_branches,
         )
-        return final_state, final_refs_unact
+        aux = {
+            "inter_states": inter_states,  # (n_layers, bs, nq, C) after norm
+            "inter_refs_unact": inter_refs,  # (n_layers, bs, nq, 4)
+            "init_refs_unact": topk_coords_unact,  # (bs, nq, 4)
+            "enc_class": enc_class,  # (bs, K, num_classes)
+            "enc_coord_unact": enc_coord_unact,  # (bs, K, 4)
+        }
+        return final_state, final_refs_unact, aux

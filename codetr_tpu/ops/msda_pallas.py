@@ -44,7 +44,15 @@ Shapes = Tuple[Tuple[int, int], ...]
 
 class _PairPlan:
     """Static per-(lq, lt) layout: axis plans, phase-split factors, halo
-    block geometry for a (TQy, TQx) query tile."""
+    block geometry for a (TQy, TQx) query tile.
+
+    ``select`` marks pairs whose target is same-or-coarser on both axes
+    (sigma_i == 1): those kernels cache the raw level slab in VMEM once per
+    (batch, head) and build the tile's window block with dynamic 0/1
+    selection matmuls on the MXU (rows/cols picked by iota comparison) —
+    replacing the per-tile halo DMA whose nearest-repeated form carried up to
+    g^2 = 256x redundant bytes (the dominant cost of the round-1 kernel:
+    2.7 GB DMA per encoder call at 608x608)."""
 
     def __init__(self, lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp, ky, kx,
                  sub_align: int = 8):
@@ -80,6 +88,7 @@ class _PairPlan:
         ntx = Wqp // TQx
         self.ny = max(-(-self.py.ulen // self.fy), (nty - 1) * TQy + self.oy0 + self.by)
         self.nx = max(-(-self.px.ulen // self.fx), (ntx - 1) * TQx + self.ox0 + self.bx)
+        self.select = self.fy == 1 and self.fx == 1  # same-or-coarser target
 
 
 def _build_u(value_lt, plan: _PairPlan, bh, d):
@@ -97,17 +106,54 @@ def _build_u(value_lt, plan: _PairPlan, bh, d):
     return u.transpose(0, 3, 5, 1, 2, 4)  # (bh, fy, fx, d, ny, nx)
 
 
+def _sweep(plan, P, d, TQy, TQx, c_ref, out_ref, read_blk):
+    """Shared window sweep with hierarchical zero-skipping.
+
+    The bilinear hats give each tap support on at most 2x2 window positions,
+    so a tile's queries touch only the UNION of their taps' cells (~4P of
+    W^2 = 121..729 at init) — the round-1 kernel burned ~15x redundant
+    vector work sweeping every position unconditionally.  Skip whole dy rows
+    whose hat mass is zero (pl.when on a cheap reduce), then skip individual
+    (dy,dx) cells the same way; active cells accumulate straight into the
+    fp32 out_ref block (revisited in VMEM, written once to HBM)."""
+    W = plan.W
+    tys = c_ref[0, 0:P]
+    txs = c_ref[0, P : 2 * P]
+    wws = c_ref[0, 2 * P : 3 * P]
+
+    out_ref[0] = jnp.zeros((d, TQy, TQx), out_ref.dtype)
+    for dy in range(W):
+        hys = [
+            jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
+            for p in range(P)
+        ]
+        row_m = hys[0]
+        for p in range(1, P):
+            row_m = row_m + hys[p]
+
+        @pl.when(jnp.max(row_m) > 0.0)
+        def _row(dy=dy, hys=hys):
+            for dx in range(W):
+                m = jnp.zeros((TQy, TQx), jnp.float32)
+                for p in range(P):
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
+                    m = m + hys[p] * hx
+
+                @pl.when(jnp.max(m) > 0.0)
+                def _cell(dy=dy, dx=dx, m=m):
+                    blk = read_blk(dy, dx)  # (d, TQy, TQx)
+                    out_ref[0] = out_ref[0] + m[None] * blk.astype(jnp.float32)
+
+
 def _pair_kernel(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, scratch, sem):
-    """One (lq, lt) pair, one query tile: DMA the halo block, sweep the
-    window with static (possibly unaligned) slices.  Kernels are kept small
-    (one pair each, O(W^2) <= ~750 statements) — large Mosaic programs
-    compile pathologically and oversized live values spill past the 128MB
-    v5e VMEM."""
+    """Finer-target (phase-split) pair, one query tile: DMA the halo block of
+    the XLA-prebuilt U slab, sweep the window with static slices.  Kernels
+    are kept small (one pair each) — large Mosaic programs compile
+    pathologically and oversized live values spill past the 128MB v5e VMEM."""
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
 
-    W = plan.W
     by, bx = plan.by, plan.bx
     row0 = ti * TQy + plan.oy0
     col0 = tj * TQx + plan.ox0
@@ -116,39 +162,72 @@ def _pair_kernel(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, scratch, sem):
     cp.start()
     cp.wait()
 
-    coords = c_ref  # (1, 3P, TQy, TQx): [ty(P), tx(P), w(P)]
-    tys = coords[0, 0:P]
-    txs = coords[0, P : 2 * P]
-    wws = coords[0, 2 * P : 3 * P]
-
     sdy, s0y, fy = plan.py.sigma_d, plan.py.s0, plan.fy
     sdx, s0x, fx = plan.px.sigma_d, plan.px.s0, plan.fx
-    # accumulate one dy-row band in SSA (bounded live range), flush to the
-    # output ref once per dy: a single carried accumulator across the whole
-    # W^2-unrolled sweep makes Mosaic's register allocator keep enormous live
-    # ranges (observed 135MB spill slots), while per-position ref round-trips
-    # triple the VMEM traffic.
-    out_ref[0] = jnp.zeros((d, TQy, TQx), out_ref.dtype)
-    for dy in range(W):
+
+    def read_blk(dy, dx):
         offy = sdy * dy + s0y
-        hys = [
-            jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
-            for p in range(P)
-        ]
-        acc = jnp.zeros((d, TQy, TQx), jnp.float32)
-        for dx in range(W):
-            offx = sdx * dx + s0x
-            m = jnp.zeros((TQy, TQx), jnp.float32)
-            for p in range(P):
-                hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
-                m = m + hys[p] * hx
-            ry = offy // fy - plan.oy0
-            rx = offx // fx - plan.ox0
-            blk = scratch[
-                offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx
-            ]  # (d, TQy, TQx)
-            acc = acc + m[None] * blk.astype(jnp.float32)
-        out_ref[0] = out_ref[0] + acc.astype(out_ref.dtype)
+        offx = sdx * dx + s0x
+        ry = offy // fy - plan.oy0
+        rx = offx // fx - plan.ox0
+        return scratch[offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx]
+
+    _sweep(plan, P, d, TQy, TQx, c_ref, out_ref, read_blk)
+
+
+def _pair_kernel_select(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, lvl_ref,
+                        exp_ref, sem):
+    """Same-or-coarser-target pair: cache the RAW level slab in VMEM once per
+    (batch*head), then per tile build the window block with two dynamic 0/1
+    selection matmuls (MXU):
+
+        exp[c, rr, cc] = lvl[c, (row0+rr)//gy - pad_y, (col0+cc)//gx - pad_x]
+
+    The row/col maps are affine-with-integer-div in the tile index, so the
+    selection matrices come from broadcasted_iota comparisons; out-of-range
+    rows select nothing, which reproduces the zero padding for free.  This
+    replaces the nearest-repeated halo DMA (g^2-redundant bytes) with
+    ~level-sized DMA once per bh + a few hundred MXU MACs per tile."""
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _load_level():
+        cp = pltpu.make_async_copy(u_ref.at[b], lvl_ref, sem)
+        cp.start()
+        cp.wait()
+
+    by, bx = plan.by, plan.bx
+    gy, gx = plan.py.repeat, plan.px.repeat
+    Htp, Wtp = lvl_ref.shape[1], lvl_ref.shape[2]
+    row0 = ti * TQy + plan.oy0
+    col0 = tj * TQx + plan.ox0
+    vdt = lvl_ref.dtype
+
+    rsel = (
+        row0 + jax.lax.broadcasted_iota(jnp.int32, (by, Htp), 0)
+    ) // gy - plan.py.pad
+    ey = (jax.lax.broadcasted_iota(jnp.int32, (by, Htp), 1) == rsel).astype(vdt)
+    csel = (
+        col0 + jax.lax.broadcasted_iota(jnp.int32, (Wtp, bx), 1)
+    ) // gx - plan.px.pad
+    ex = (jax.lax.broadcasted_iota(jnp.int32, (Wtp, bx), 0) == csel).astype(vdt)
+    for dd in range(d):
+        t1 = jnp.dot(ey, lvl_ref[dd], preferred_element_type=jnp.float32)
+        exp_ref[dd] = jnp.dot(
+            t1.astype(vdt), ex, preferred_element_type=jnp.float32
+        ).astype(vdt)
+
+    sdy, s0y = plan.py.sigma_d, plan.py.s0
+    sdx, s0x = plan.px.sigma_d, plan.px.s0
+
+    def read_blk(dy, dx):
+        ry = sdy * dy + s0y - plan.oy0
+        rx = sdx * dx + s0x - plan.ox0
+        return exp_ref[:, ry : ry + TQy, rx : rx + TQx]
+
+    _sweep(plan, P, d, TQy, TQx, c_ref, out_ref, read_blk)
 
 
 def _coarse_pair_xla(v_t, x_l, y_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
@@ -210,6 +289,58 @@ def msda_grid_pallas_qm(
     max_window: int = 31,
     interpret: bool = False,
 ) -> jax.Array:
+    """Differentiable entry: Pallas forward + flat-gather-oracle backward
+    (jax.custom_vjp).  The reference computes gradients with 650 LoC of
+    col2im CUDA (ms_deform_attn.cu:433-897); here the backward rides the
+    exact XLA oracle's AD — identical gradients to the forward's truncated
+    semantics wherever taps are strictly inside the window (a.e.)."""
+    return _pallas_vjp(
+        value, spatial_shapes, x, y, w, radius, tile, max_window, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7, 8))
+def _pallas_vjp(value, spatial_shapes, x, y, w, radius, tile, max_window, interpret):
+    return _pallas_impl(
+        value, spatial_shapes, x, y, w,
+        radius=radius, tile=tile, max_window=max_window, interpret=interpret,
+    )
+
+
+def _pallas_vjp_fwd(value, spatial_shapes, x, y, w, radius, tile, max_window, interpret):
+    out = _pallas_impl(
+        value, spatial_shapes, x, y, w,
+        radius=radius, tile=tile, max_window=max_window, interpret=interpret,
+    )
+    return out, (value, x, y, w)
+
+
+def _pallas_vjp_bwd(spatial_shapes, radius, tile, max_window, interpret, res, g):
+    from codetr_tpu.ops.msda import msda_reference_qm
+
+    value, x, y, w = res
+    _, vjp = jax.vjp(
+        lambda v, xx, yy, ww: msda_reference_qm(v, spatial_shapes, xx, yy, ww),
+        value, x, y, w,
+    )
+    return vjp(g)
+
+
+_pallas_vjp.defvjp(_pallas_vjp_fwd, _pallas_vjp_bwd)
+
+
+def _pallas_impl(
+    value: jax.Array,  # (bs, K, h, d)
+    spatial_shapes: Shapes,
+    x: jax.Array,  # (bs, h, L, P, K) normalized x in [0,1]
+    y: jax.Array,  # (bs, h, L, P, K)
+    w: jax.Array,  # (bs, h, L, P, K)
+    *,
+    radius: int = 4,
+    tile: Tuple[int, int] = (16, 128),
+    max_window: int = 31,
+    interpret: bool = False,
+) -> jax.Array:
     bs, K, h, d = value.shape
     L = len(spatial_shapes)
     P = x.shape[3]
@@ -224,6 +355,17 @@ def msda_grid_pallas_qm(
     attw = w.reshape(bh, L, P, K)
 
     lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
+
+    # raw level slabs (bh, d, Htp, Wtp) shared by all select-mode pairs
+    sub_lvl = 8 * (4 // value.dtype.itemsize)
+    lvl_slabs = []
+    for lt, (Ht, Wt) in enumerate(spatial_shapes):
+        t0 = int(lvl_start[lt])
+        v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
+        s = v_t.reshape(bh, Ht, Wt, d).transpose(0, 3, 1, 2)  # (bh, d, Ht, Wt)
+        Htp = -(-Ht // sub_lvl) * sub_lvl
+        Wtp = -(-Wt // 128) * 128
+        lvl_slabs.append(jnp.pad(s, ((0, 0), (0, 0), (0, Htp - Ht), (0, Wtp - Wt))))
     out_chunks = []
     for lq, (Hq, Wq) in enumerate(spatial_shapes):
         Kq = Hq * Wq
@@ -265,9 +407,12 @@ def msda_grid_pallas_qm(
                 sub_align=sub_align,
             )
             plans.append(plan)
-            t0 = int(lvl_start[lt])
-            v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
-            u_arrays.append(_build_u(v_t, plan, bh, d))
+            if plan.select:
+                u_arrays.append(lvl_slabs[lt])
+            else:
+                t0 = int(lvl_start[lt])
+                v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
+                u_arrays.append(_build_u(v_t, plan, bh, d))
 
             anch_y = _anchor(np.arange(Hq), Hq, Ht).astype(np.float32)
             anch_x = _anchor(np.arange(Wq), Wq, Wt).astype(np.float32)
@@ -295,14 +440,26 @@ def msda_grid_pallas_qm(
         out = jnp.zeros((bh, d, Hq, Wq), jnp.float32)
         grid = (bh, nty, ntx)
         for plan, u_arr, cat in zip(plans, u_arrays, coord_arrays):
-            kernel = functools.partial(_pair_kernel, plan, P, d, TQy, TQx)
+            if plan.select:
+                kernel = functools.partial(_pair_kernel_select, plan, P, d, TQy, TQx)
+                scratch_shapes = [
+                    pltpu.VMEM(u_arr.shape[1:], value.dtype),  # level cache
+                    pltpu.VMEM((d, plan.by, plan.bx), value.dtype),  # expanded
+                    pltpu.SemaphoreType.DMA,
+                ]
+            else:
+                kernel = functools.partial(_pair_kernel, plan, P, d, TQy, TQx)
+                scratch_shapes = [
+                    pltpu.VMEM((plan.fy, plan.fx, d, plan.by, plan.bx), value.dtype),
+                    pltpu.SemaphoreType.DMA,
+                ]
             pair_out = pl.pallas_call(
                 kernel,
                 grid=grid,
                 in_specs=[
                     # the value slab stays in HBM; the kernel DMAs its halo
-                    # block (ANY lets the compiler pick VMEM and blow the
-                    # scoped budget)
+                    # block / level cache (ANY lets the compiler pick VMEM and
+                    # blow the scoped budget)
                     pl.BlockSpec(memory_space=pltpu.HBM),
                     pl.BlockSpec(
                         (1, 3 * P, TQy, TQx),
@@ -314,10 +471,7 @@ def msda_grid_pallas_qm(
                     (1, d, TQy, TQx), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
                 ),
                 out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), jnp.float32),
-                scratch_shapes=[
-                    pltpu.VMEM((plan.fy, plan.fx, d, plan.by, plan.bx), value.dtype),
-                    pltpu.SemaphoreType.DMA,
-                ],
+                scratch_shapes=scratch_shapes,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024,
                 ),

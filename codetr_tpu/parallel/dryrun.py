@@ -30,18 +30,32 @@ def run_dryrun(n_devices: int, *, dp: int | None = None, tp: int | None = None) 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((bs, H, W, 3)), jnp.float32)
     masks = jnp.zeros((bs, H, W), jnp.float32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, masks)
+    # init through the TRAINING path: it exercises every parameter the
+    # inference path uses plus the aux cls branches (0..4) that inference
+    # never calls (inference reads only branches nl-1 and nl).
+    params = jax.jit(
+        lambda k, a, m: model.init(k, a, m, method=model.train_outputs)
+    )(jax.random.PRNGKey(0), x, masks)
 
     tx = optax.adamw(1e-4)
     with mesh:
         state = init_sharded_state(model, params, tx, mesh)
         step = jit_train_step(model, tx, mesh)
-        n = cfg.head.max_per_img
-        tgt_boxes = jax.device_put(jnp.zeros((bs, n, 4)), batch_sharding(mesh))
-        tgt_scores = jax.device_put(jnp.full((bs, n), 0.1), batch_sharding(mesh))
-        x = jax.device_put(x, batch_sharding(mesh))
-        masks = jax.device_put(masks, batch_sharding(mesh))
-        state, loss = step(state, x, masks, tgt_boxes, tgt_scores)
+        max_gt = 8
+        sh = batch_sharding(mesh)
+        gt_boxes = jnp.tile(
+            jnp.asarray([[0.3, 0.3, 0.2, 0.2], [0.7, 0.6, 0.3, 0.4]] * (max_gt // 2),
+                        jnp.float32)[None],
+            (bs, 1, 1),
+        )
+        gt_labels = jnp.tile(jnp.arange(max_gt, dtype=jnp.int32)[None] % 3, (bs, 1))
+        gt_valid = jnp.tile((jnp.arange(max_gt) < 3)[None], (bs, 1))
+        gt_boxes = jax.device_put(gt_boxes, sh)
+        gt_labels = jax.device_put(gt_labels, sh)
+        gt_valid = jax.device_put(gt_valid, sh)
+        x = jax.device_put(x, sh)
+        masks = jax.device_put(masks, sh)
+        state, loss = step(state, x, masks, gt_boxes, gt_labels, gt_valid)
         loss = float(loss)
     assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
     print(f"dryrun_multichip ok: mesh={dict(mesh.shape)} loss={loss:.4f}")

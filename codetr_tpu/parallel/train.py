@@ -1,13 +1,12 @@
-"""Sharded training step.
+"""Sharded training step with the real Co-DINO query-head losses.
 
 The reference ships no trainer (SURVEY.md: inference-deployment repo; its
 training configs exist only for upstream mmdet).  The TPU build provides the
-training *infrastructure* anyway — a jit-able, mesh-sharded train step with
-optax — so the framework can fine-tune the detector; the full Co-DETR
-multi-head training losses (Hungarian matching, aux heads) are roadmap items
-tracked in README.md.  The loss here is a simple dense detection surrogate
-(L1 on matched-by-index boxes + sigmoid focal on scores) sufficient to drive
-real gradients through every parameter used at inference.
+training path anyway: pre-topk per-layer predictions
+(CoDETR.train_outputs), Hungarian matching + QFL/L1/GIoU losses over every
+decoder layer and the encoder stage (parallel/losses.py, mirroring the
+reference training config :107-113,:197-204), and a jit-able, mesh-sharded
+train step with optax.
 
 Sharding: dp over batch, tp over FFN/attention weights (see parallel/mesh.py);
 gradients are averaged across dp by XLA-inserted collectives (jit + GSPMD —
@@ -24,6 +23,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh
 
+from codetr_tpu.parallel.losses import dino_detection_loss
 from codetr_tpu.parallel.mesh import batch_sharding, replicated, shard_params
 
 
@@ -33,25 +33,18 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def detection_surrogate_loss(outputs, targets):
-    """boxes (bs,N,4)/scores(bs,N)/labels vs target boxes (bs,N,4), tgt_cls (bs,N)."""
-    boxes, scores, labels = outputs
-    tgt_boxes, tgt_scores = targets
-    l1 = jnp.mean(jnp.abs(boxes - tgt_boxes))
-    bce = jnp.mean(
-        -(tgt_scores * jnp.log(scores + 1e-6) + (1 - tgt_scores) * jnp.log(1 - scores + 1e-6))
-    )
-    return l1 * 0.01 + bce
-
-
 def make_train_step(model, tx: optax.GradientTransformation):
-    def loss_fn(params, batch_inputs, img_masks, tgt_boxes, tgt_scores):
-        out = model.apply(params, batch_inputs, img_masks)
-        return detection_surrogate_loss(out, (tgt_boxes, tgt_scores))
+    """Targets: gt_boxes (bs, max_gt, 4) normalized cxcywh, gt_labels
+    (bs, max_gt) int32, gt_valid (bs, max_gt) bool — static max_gt padding."""
 
-    def train_step(state: TrainState, batch_inputs, img_masks, tgt_boxes, tgt_scores):
+    def loss_fn(params, batch_inputs, img_masks, gt_boxes, gt_labels, gt_valid):
+        out = model.apply(params, batch_inputs, img_masks, method=model.train_outputs)
+        total, _ = dino_detection_loss(out, gt_boxes, gt_labels, gt_valid)
+        return total
+
+    def train_step(state: TrainState, batch_inputs, img_masks, gt_boxes, gt_labels, gt_valid):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, batch_inputs, img_masks, tgt_boxes, tgt_scores
+            state.params, batch_inputs, img_masks, gt_boxes, gt_labels, gt_valid
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -75,6 +68,6 @@ def jit_train_step(model, tx, mesh: Mesh):
     data_sh = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(None, data_sh, data_sh, data_sh, data_sh),
+        in_shardings=(None, data_sh, data_sh, data_sh, data_sh, data_sh),
         donate_argnums=(0,),
     )

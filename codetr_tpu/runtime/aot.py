@@ -98,6 +98,11 @@ def save_executable(
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
+    # raw StableHLO bytecode for the native runtime (csrc/codetr_pjrt_runner
+    # compiles it through any PJRT plugin — the engine-file analog a C++
+    # process can consume without Python)
+    with open(path + ".stablehlo", "wb") as f:
+        f.write(exported.mlir_module_serialized)
     meta = dict(meta or {})
     meta.update(
         magic=MAGIC,

@@ -3,10 +3,14 @@
 Skipped when csrc/build/libcodetr_host.so has not been built
 (cmake -S csrc -B csrc/build && cmake --build csrc/build)."""
 
+import os
+
 import numpy as np
 import pytest
 
 from codetr_tpu.utils import native
+
+CSRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
 
 pytestmark = pytest.mark.skipif(
     not native.native_available(), reason="native host library not built"
@@ -54,3 +58,27 @@ def test_nms_score_threshold():
     labels = np.zeros(2, np.int32)
     keep = native.batched_nms_native(boxes, scores, labels, 0.5, score_threshold=0.1)
     assert keep.tolist() == [True, False]
+
+
+def test_pjrt_runner_smoke():
+    """The native PJRT runner (csrc/codetr_pjrt_runner.cpp) loads a PJRT
+    plugin and validates the API table — the analog of the reference's
+    plugin-registry smoke test (csrc_tests/test_plugin.cpp)."""
+    import glob
+    import subprocess
+
+    runner = os.path.join(CSRC_DIR, "build", "codetr_pjrt_runner")
+    if not os.path.exists(runner):
+        pytest.skip("codetr_pjrt_runner not built")
+    plugins = glob.glob(
+        "/opt/venv/lib/python3*/site-packages/libtpu/libtpu.so"
+    )
+    if not plugins:
+        pytest.skip("no PJRT plugin (.so) available")
+    out = subprocess.run(
+        [runner, "--plugin", plugins[0], "--smoke"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "smoke ok" in out.stdout
+    assert "pjrt api version" in out.stdout
