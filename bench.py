@@ -23,6 +23,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 TRT_BASELINE_MS = {(1920, 1280): 79.5, (1152, 768): 30.2, (608, 608): 13.4}
 
 
+def verify_pallas_on_chip(height: int, width: int, dtype):
+    """On-chip numerics gate: the COMPILED Mosaic kernel vs the flat-gather
+    oracle at this resolution's encoder shapes (bilinear anchors + jitter).
+    Tolerance = a few ULP of the value dtype on ~0.2-scale outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codetr_tpu.ops.msda import msda_grid_qm, msda_reference_qm
+    from codetr_tpu.ops.msda_grid import _anchor
+
+    # 5-scale neck strides (ChannelMapper over Swin strides 4/8/16/32 plus
+    # the extra stride-64 level, reference config :40-47)
+    strides = (4, 8, 16, 32, 64)
+    shapes = tuple(
+        (-(-height // s), -(-width // s)) for s in strides
+    )
+    K = sum(hh * ww for hh, ww in shapes)
+    h, P, L, d = 8, 4, len(shapes), 32
+    rng = np.random.default_rng(0)
+    value = jnp.asarray(rng.standard_normal((1, K, h, d)), dtype)
+    x = np.zeros((1, h, L, P, K), np.float32)
+    y = np.zeros_like(x)
+    q0 = 0
+    for lq, (Hq, Wq) in enumerate(shapes):
+        iy, ix = np.meshgrid(np.arange(Hq), np.arange(Wq), indexing="ij")
+        for lt, (Ht, Wt) in enumerate(shapes):
+            ay = _anchor(iy, Hq, Ht).reshape(-1)
+            ax = _anchor(ix, Wq, Wt).reshape(-1)
+            y[0, :, lt, :, q0:q0 + Hq * Wq] = (
+                ay + rng.uniform(-3, 3, (h, P, Hq * Wq)) + 0.5
+            ) / Ht
+            x[0, :, lt, :, q0:q0 + Hq * Wq] = (
+                ax + rng.uniform(-3, 3, (h, P, Hq * Wq)) + 0.5
+            ) / Wt
+        q0 += Hq * Wq
+    w = rng.uniform(0, 1, (1, h, L, P, K)).astype(np.float32)
+    w /= w.sum(axis=(2, 3), keepdims=True)
+    x, y, w = jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
+    got = np.asarray(
+        msda_grid_qm(value, shapes, x, y, w, impl="grid_pallas")
+    ).astype(np.float32)
+    want = np.asarray(msda_reference_qm(value, shapes, x, y, w)).astype(np.float32)
+    err = np.abs(got - want).max()
+    scale = np.abs(want).astype(np.float64).mean()
+    tol = 0.01 if dtype == jnp.bfloat16 else 1e-4
+    assert err <= tol, f"on-chip pallas/oracle mismatch: max err {err} (tol {tol})"
+    print(
+        json.dumps(
+            {"verify": "pallas-vs-oracle-on-chip", "max_abs_err": float(err),
+             "mean_abs_out": float(scale), "ok": True}
+        ),
+        file=sys.stderr,
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=608)
@@ -34,6 +90,10 @@ def main():
                     help="compile one monolithic executable (default: split "
                     "backbone|head — the monolithic Swin-L graph exceeds the "
                     "remote AOT transport limits)")
+    ap.add_argument("--verify", action="store_true",
+                    help="before timing, assert the compiled Pallas MSDA "
+                    "kernel matches the flat-gather oracle ON THIS CHIP at "
+                    "the bench's encoder shapes")
     args = ap.parse_args()
 
     import jax
@@ -44,6 +104,10 @@ def main():
     from codetr_tpu.runtime.aot import benchmark, compile_forward
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.verify:
+        verify_pallas_on_chip(args.height, args.width, dtype)
+
     model, params = build_codetr(
         co_dino_swin_l(),
         dtype=dtype,

@@ -2,28 +2,39 @@
 
 The fused, VMEM-resident version of codetr_tpu.ops.msda_grid — the TPU analog
 of the reference CUDA kernel + TRT plugin (ms_deform_attn.cu:211-261,
-deformable_attention_plugin.cpp).  The XLA version of the shift-window loop
-leaves every window position as a separate HBM-streaming kernel (~356 ms/call
-at 1152x768); this kernel holds the per-pair aligned value slab, the query
-tile coordinates, and the accumulator in VMEM, so the window sweep runs at
-VPU rate.
+deformable_attention_plugin.cpp).  One pallas_call per (query level, target
+level) pair (large multi-pair Mosaic programs compile pathologically); pairs
+whose window exceeds ``max_window`` take the exact XLA im2col path
+(_coarse_pair_xla).
 
-Structure (one small pallas_call per (query level, target level) pair —
-large multi-pair Mosaic programs compile pathologically and spill past the
-128MB v5e VMEM; per-pair outputs are summed by XLA):
+Kernel design (v3 — the round-1 kernel spent ~85% of its time on redundant
+halo DMA and unconditionally swept every window cell):
+
   grid = (bs*heads, q_tiles_y, q_tiles_x)
-  DMA the tile's halo block of U_lt (HBM->VMEM)
-  for (dy, dx) in window(lq, lt):                # static unroll
-    m   = sum_p w_p * hat(ty_p - dy) * hat(tx_p - dx)    # bilinear splat
-    acc += m * U_block[phase(dy), phase(dx), :, slice, slice]
-Pairs whose window exceeds max_window (coarse query -> much finer target)
-take the exact XLA im2col path (_coarse_pair_xla) instead.
+  1. LEVEL CACHE: the raw target level slab, transposed to (Ht, d*Wt), is
+     DMA'd HBM->VMEM once per (batch, head) — replacing per-tile halo DMA
+     whose nearest-repeated form carried up to g^2 = 256x redundant bytes
+     (2.7 GB per encoder call at 608x608).
+  2. WINDOW SLAB VIA TWO MXU DOTS: the tile's swept block, in layout
+     (rows, d, x_phase, cols), is built with two dynamic 0/1 selection
+     matmuls (row map then column map, both iota-comparison matrices).  The
+     row map folds the nearest-repeat for coarser targets and the plain
+     shift for same/finer; the column map additionally emits the x-phase
+     split so every sweep read is a contiguous static slice.  Out-of-range
+     rows select nothing == zero padding for free.
+  3. SCALAR-GUARDED SPARSE SWEEP: bilinear hats give each tap support on at
+     most 2x2 window cells, so a tile touches only the union of its taps'
+     cells (~4P of W^2 = 121..729).  Per-tile tap bounding boxes (4 ints per
+     point) are computed in XLA and arrive through SMEM; whole dy rows and
+     individual (dy,dx) cells are skipped with pl.when on SCALAR-ONLY
+     predicates.  (Guarding on jnp.max of vector data — kernel v2 — stalls
+     the scalar core on the VPU at every cell and is catastrophically slow.)
+     Active cells accumulate m * block straight into the fp32 out block.
 
-U_lt is the anchor-aligned target level built in XLA (zero-padded, nearest-
-repeated for coarser targets, phase-split for finer targets so all in-kernel
-reads are contiguous slices).  Anchor/stride/window math is shared with
-msda_grid (_AxisPlan) — both implementations are exact within the same offset
-envelope and are tested against each other and the flat-gather oracle.
+Anchor/stride/window math is shared with msda_grid (_AxisPlan) — both
+implementations are exact within the same offset envelope and are tested
+against each other and the flat-gather oracle; out-of-envelope taps are
+routed to the oracle by the dispatcher (ops/msda.py msda_grid_qm).
 """
 
 from __future__ import annotations
@@ -37,197 +48,42 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from codetr_tpu.ops.msda_grid import _AxisPlan, _anchor, pair_margin
+from codetr_tpu.ops.msda_grid import _AxisPlan, _anchor, _ideal_scale, pair_margin
 
 Shapes = Tuple[Tuple[int, int], ...]
 
 
 class _PairPlan:
-    """Static per-(lq, lt) layout: axis plans, phase-split factors, halo
-    block geometry for a (TQy, TQx) query tile.
+    """Static per-(lq, lt) geometry for one pair kernel.
 
-    ``select`` marks pairs whose target is same-or-coarser on both axes
-    (sigma_i == 1): those kernels cache the raw level slab in VMEM once per
-    (batch, head) and build the tile's window block with dynamic 0/1
-    selection matmuls on the MXU (rows/cols picked by iota comparison) —
-    replacing the per-tile halo DMA whose nearest-repeated form carried up to
-    g^2 = 256x redundant bytes (the dominant cost of the round-1 kernel:
-    2.7 GB DMA per encoder call at 608x608)."""
+    Per axis (from _AxisPlan): U[m] = target[m // repeat - pad], and query i
+    at window offset dy reads U[sigma_i * i + sigma_d * dy + s0].  The v3
+    kernel materializes a fully phase-split window slab per query tile,
+
+        exp[phy, rr, :, phx, cc] = U_y[fy*(tile0_y + rr + qmin_y) + phy] x
+                                   U_x[fx*(tile0_x + cc + qmin_x) + phx]
+
+    (fy/fx = sigma_i, qmin = s0 // f), so the sweep read for window cell
+    (dy, dx) is exp[(dy+s0y)%fy, (dy+s0y)//fy - qmin_y + [0,TQy), :,
+    (dx+s0x)%fx, ...] — every index static, every slice contiguous."""
 
     def __init__(self, lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp, ky, kx,
                  sub_align: int = 8):
-        # plans span the tile-PADDED query grid (Hqp, Wqp) so halo DMAs for
-        # padded tiles stay in range; ky/kx are the scales from REAL sizes.
         self.R, self.W = R, 2 * R + 3
         self.py = _AxisPlan(Hqp, Ht, R, k=ky)
         self.px = _AxisPlan(Wqp, Wt, R, k=kx)
-        # phase factors (stride per query step along U)
-        self.fy = self.py.sigma_i
-        self.fx = self.px.sigma_i
-        # offsets swept by dy: sigma_d*dy + s0 for dy in [0, W)
-        offs_y = self.py.sigma_d * np.arange(self.W) + self.py.s0
-        offs_x = self.px.sigma_d * np.arange(self.W) + self.px.s0
-        # phase-split: U row (f*i + off) lives at (ny=i + off//f, phase=off%f)
-        self.oy = offs_y // self.fy
-        self.phy = offs_y % self.fy
-        self.ox = offs_x // self.fx
-        self.phx = offs_x % self.fx
-        # DMA starts must sit on VMEM tile boundaries (8 sublanes, 128
-        # lanes).  The dynamic part ti*TQy is a multiple of the tiling (TQy,
-        # TQx are tile multiples); floor-align the static offset and absorb
-        # the residue in the in-kernel static slice offsets.
-        # sub_align: sublane tile = 8 * (4 / itemsize) rows (16 for bf16)
-        self.oy0 = (int(self.oy.min()) // sub_align) * sub_align
-        self.ox0 = (int(self.ox.min()) // 128) * 128
-        # halo block extents for a (TQy, TQx) query tile, rounded up to the
-        # VMEM tiling — Mosaic also requires aligned DMA slice shapes
-        self.by = -(-(TQy + int(self.oy.max()) - self.oy0) // sub_align) * sub_align
-        self.bx = -(-(TQx + int(self.ox.max()) - self.ox0) // 128) * 128
-        # U extents (phase-split units) covering every tile's padded block
-        nty = Hqp // TQy
-        ntx = Wqp // TQx
-        self.ny = max(-(-self.py.ulen // self.fy), (nty - 1) * TQy + self.oy0 + self.by)
-        self.nx = max(-(-self.px.ulen // self.fx), (ntx - 1) * TQx + self.ox0 + self.bx)
-        self.select = self.fy == 1 and self.fx == 1  # same-or-coarser target
+        W = self.W
 
+        def axis_geom(plan, TQ, lane):
+            f = plan.sigma_i
+            qmin = plan.s0 // f
+            qmax = (plan.sigma_d * (W - 1) + plan.s0) // f
+            b = TQ + qmax - qmin + 1
+            align = 128 if lane else sub_align
+            return f, qmin, -(-b // align) * align
 
-def _build_u(value_lt, plan: _PairPlan, bh, d):
-    """(bh, Ht*Wt, d)-slice -> phase-split aligned slab
-    (bh, fy, fx, d, ny, nx), zero-padded."""
-    Ht, Wt = plan.py.nt, plan.px.nt
-    v = value_lt.reshape(bh, Ht, Wt, d).transpose(0, 3, 1, 2)  # (bh, d, Ht, Wt)
-    u = plan.py.build(v, axis=2)
-    u = plan.px.build(u, axis=3)
-    # pad to phase multiples
-    pad_y = plan.ny * plan.fy - u.shape[2]
-    pad_x = plan.nx * plan.fx - u.shape[3]
-    u = jnp.pad(u, ((0, 0), (0, 0), (0, pad_y), (0, pad_x)))
-    u = u.reshape(bh, d, plan.ny, plan.fy, plan.nx, plan.fx)
-    return u.transpose(0, 3, 5, 1, 2, 4)  # (bh, fy, fx, d, ny, nx)
-
-
-def _sweep(plan, P, d, TQy, TQx, c_ref, out_ref, read_blk):
-    """Shared window sweep with hierarchical zero-skipping.
-
-    The bilinear hats give each tap support on at most 2x2 window positions,
-    so a tile's queries touch only the UNION of their taps' cells (~4P of
-    W^2 = 121..729 at init) — the round-1 kernel burned ~15x redundant
-    vector work sweeping every position unconditionally.  Skip whole dy rows
-    whose hat mass is zero (pl.when on a cheap reduce), then skip individual
-    (dy,dx) cells the same way; active cells accumulate straight into the
-    fp32 out_ref block (revisited in VMEM, written once to HBM)."""
-    W = plan.W
-    tys = c_ref[0, 0:P]
-    txs = c_ref[0, P : 2 * P]
-    wws = c_ref[0, 2 * P : 3 * P]
-
-    out_ref[0] = jnp.zeros((d, TQy, TQx), out_ref.dtype)
-    for dy in range(W):
-        hys = [
-            jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
-            for p in range(P)
-        ]
-        row_m = hys[0]
-        for p in range(1, P):
-            row_m = row_m + hys[p]
-
-        @pl.when(jnp.max(row_m) > 0.0)
-        def _row(dy=dy, hys=hys):
-            for dx in range(W):
-                m = jnp.zeros((TQy, TQx), jnp.float32)
-                for p in range(P):
-                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
-                    m = m + hys[p] * hx
-
-                @pl.when(jnp.max(m) > 0.0)
-                def _cell(dy=dy, dx=dx, m=m):
-                    blk = read_blk(dy, dx)  # (d, TQy, TQx)
-                    out_ref[0] = out_ref[0] + m[None] * blk.astype(jnp.float32)
-
-
-def _pair_kernel(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, scratch, sem):
-    """Finer-target (phase-split) pair, one query tile: DMA the halo block of
-    the XLA-prebuilt U slab, sweep the window with static slices.  Kernels
-    are kept small (one pair each) — large Mosaic programs compile
-    pathologically and oversized live values spill past the 128MB v5e VMEM."""
-    b = pl.program_id(0)
-    ti = pl.program_id(1)
-    tj = pl.program_id(2)
-
-    by, bx = plan.by, plan.bx
-    row0 = ti * TQy + plan.oy0
-    col0 = tj * TQx + plan.ox0
-    src = u_ref.at[b, :, :, :, pl.ds(row0, by), pl.ds(col0, bx)]
-    cp = pltpu.make_async_copy(src, scratch, sem)
-    cp.start()
-    cp.wait()
-
-    sdy, s0y, fy = plan.py.sigma_d, plan.py.s0, plan.fy
-    sdx, s0x, fx = plan.px.sigma_d, plan.px.s0, plan.fx
-
-    def read_blk(dy, dx):
-        offy = sdy * dy + s0y
-        offx = sdx * dx + s0x
-        ry = offy // fy - plan.oy0
-        rx = offx // fx - plan.ox0
-        return scratch[offy % fy, offx % fx, :, ry : ry + TQy, rx : rx + TQx]
-
-    _sweep(plan, P, d, TQy, TQx, c_ref, out_ref, read_blk)
-
-
-def _pair_kernel_select(plan, P, d, TQy, TQx, u_ref, c_ref, out_ref, lvl_ref,
-                        exp_ref, sem):
-    """Same-or-coarser-target pair: cache the RAW level slab in VMEM once per
-    (batch*head), then per tile build the window block with two dynamic 0/1
-    selection matmuls (MXU):
-
-        exp[c, rr, cc] = lvl[c, (row0+rr)//gy - pad_y, (col0+cc)//gx - pad_x]
-
-    The row/col maps are affine-with-integer-div in the tile index, so the
-    selection matrices come from broadcasted_iota comparisons; out-of-range
-    rows select nothing, which reproduces the zero padding for free.  This
-    replaces the nearest-repeated halo DMA (g^2-redundant bytes) with
-    ~level-sized DMA once per bh + a few hundred MXU MACs per tile."""
-    b = pl.program_id(0)
-    ti = pl.program_id(1)
-    tj = pl.program_id(2)
-
-    @pl.when((ti == 0) & (tj == 0))
-    def _load_level():
-        cp = pltpu.make_async_copy(u_ref.at[b], lvl_ref, sem)
-        cp.start()
-        cp.wait()
-
-    by, bx = plan.by, plan.bx
-    gy, gx = plan.py.repeat, plan.px.repeat
-    Htp, Wtp = lvl_ref.shape[1], lvl_ref.shape[2]
-    row0 = ti * TQy + plan.oy0
-    col0 = tj * TQx + plan.ox0
-    vdt = lvl_ref.dtype
-
-    rsel = (
-        row0 + jax.lax.broadcasted_iota(jnp.int32, (by, Htp), 0)
-    ) // gy - plan.py.pad
-    ey = (jax.lax.broadcasted_iota(jnp.int32, (by, Htp), 1) == rsel).astype(vdt)
-    csel = (
-        col0 + jax.lax.broadcasted_iota(jnp.int32, (Wtp, bx), 1)
-    ) // gx - plan.px.pad
-    ex = (jax.lax.broadcasted_iota(jnp.int32, (Wtp, bx), 0) == csel).astype(vdt)
-    for dd in range(d):
-        t1 = jnp.dot(ey, lvl_ref[dd], preferred_element_type=jnp.float32)
-        exp_ref[dd] = jnp.dot(
-            t1.astype(vdt), ex, preferred_element_type=jnp.float32
-        ).astype(vdt)
-
-    sdy, s0y = plan.py.sigma_d, plan.py.s0
-    sdx, s0x = plan.px.sigma_d, plan.px.s0
-
-    def read_blk(dy, dx):
-        ry = sdy * dy + s0y - plan.oy0
-        rx = sdx * dx + s0x - plan.ox0
-        return exp_ref[:, ry : ry + TQy, rx : rx + TQx]
-
-    _sweep(plan, P, d, TQy, TQx, c_ref, out_ref, read_blk)
+        self.fy, self.qminy, self.byp = axis_geom(self.py, TQy, False)
+        self.fx, self.qminx, self.bxp = axis_geom(self.px, TQx, True)
 
 
 def _coarse_pair_xla(v_t, x_l, y_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
@@ -271,6 +127,98 @@ def _coarse_pair_xla(v_t, x_l, y_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
     out = jnp.einsum("bqyx,bqyxd->bqd", m, patch,
                      precision=jax.lax.Precision.HIGHEST)  # (bh, Kq, d)
     return out.reshape(bh, Hq, Wq, d).transpose(0, 3, 1, 2)
+
+
+def _pair_kernel(plan, P, d, TQy, TQx, Htp, Wtp,
+                 u_ref, c_ref, b_ref, out_ref, lvl_ref, exp_ref, sem):
+    """One (lq, lt) pair, one query tile (see module docstring)."""
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    @pl.when((ti == 0) & (tj == 0))
+    def _load_level():
+        cp = pltpu.make_async_copy(u_ref.at[b], lvl_ref, sem)
+        cp.start()
+        cp.wait()
+
+    W = plan.W
+    fy, byp, fx, bxp = plan.fy, plan.byp, plan.fx, plan.bxp
+    vdt = lvl_ref.dtype
+    py, px = plan.py, plan.px
+
+    # ---- window slab via two selection dots (MXU) ----
+    # rows: exp_rows[(phy, rr), :] = U_y[fy*(ti*TQy + rr + qmin_y) + phy]
+    row0 = ti * TQy + plan.qminy
+    rrf = jax.lax.broadcasted_iota(jnp.int32, (fy * byp, Htp), 0)
+    uu = jax.lax.broadcasted_iota(jnp.int32, (fy * byp, Htp), 1)
+    um = fy * (row0 + rrf % byp) + rrf // byp
+    # U[m] = target[m // repeat - pad]; m >= 0 by _AxisPlan pad construction
+    rmap = um // py.repeat - py.pad if py.repeat > 1 else um - py.pad
+    ey = (uu == rmap).astype(vdt)
+    r1 = jnp.dot(ey, lvl_ref[:, :], preferred_element_type=jnp.float32)
+    # (fy*byp, d*Wtp) -> contract Wtp with the column selection
+    r1 = r1.astype(vdt).reshape(fy * byp * d, Wtp)
+
+    # cols: exp[.., phx, cc] = U_x[fx*(tj*TQx + cc + qmin_x) + phx]
+    col0 = tj * TQx + plan.qminx
+    ccf = jax.lax.broadcasted_iota(jnp.int32, (Wtp, fx * bxp), 1)
+    uux = jax.lax.broadcasted_iota(jnp.int32, (Wtp, fx * bxp), 0)
+    ucol = fx * (col0 + ccf % bxp) + ccf // bxp
+    cmap = ucol // px.repeat - px.pad if px.repeat > 1 else ucol - px.pad
+    ex = (uux == cmap).astype(vdt)
+    r2 = jnp.dot(r1, ex, preferred_element_type=jnp.float32).astype(vdt)
+    exp_ref[:, :, :, :, :] = r2.reshape(fy, byp, d, fx, bxp)
+
+    # ---- scalar-guarded sparse sweep ----
+    tys = c_ref[0, 0:P]  # (P, TQy, TQx)
+    txs = c_ref[0, P : 2 * P]
+    wws = c_ref[0, 2 * P : 3 * P]
+    lo_y = [b_ref[0, 0, 0, 0, 0 * P + p] for p in range(P)]
+    hi_y = [b_ref[0, 0, 0, 0, 1 * P + p] for p in range(P)]
+    lo_x = [b_ref[0, 0, 0, 0, 2 * P + p] for p in range(P)]
+    hi_x = [b_ref[0, 0, 0, 0, 3 * P + p] for p in range(P)]
+
+    out_ref[0] = jnp.zeros((TQy, d, TQx), out_ref.dtype)
+    sdy, s0y = py.sigma_d, py.s0
+    sdx, s0x = px.sigma_d, px.s0
+    for dy in range(W):
+        row_act = (lo_y[0] <= dy) & (dy <= hi_y[0])
+        for p in range(1, P):
+            row_act = row_act | ((lo_y[p] <= dy) & (dy <= hi_y[p]))
+
+        @pl.when(row_act)
+        def _row(dy=dy):
+            hys = [
+                jnp.maximum(0.0, 1.0 - jnp.abs(tys[p] - float(dy))) * wws[p]
+                for p in range(P)
+            ]
+            offy = sdy * dy + s0y
+            phy = offy % fy
+            ry = offy // fy - plan.qminy
+            for dx in range(W):
+                cell = (lo_x[0] <= dx) & (dx <= hi_x[0]) & (lo_y[0] <= dy) & (
+                    dy <= hi_y[0]
+                )
+                for p in range(1, P):
+                    cell = cell | (
+                        (lo_y[p] <= dy) & (dy <= hi_y[p])
+                        & (lo_x[p] <= dx) & (dx <= hi_x[p])
+                    )
+
+                @pl.when(cell)
+                def _cell(dy=dy, dx=dx, hys=hys, phy=phy, ry=ry):
+                    m = jnp.zeros((TQy, TQx), jnp.float32)
+                    for p in range(P):
+                        hx = jnp.maximum(0.0, 1.0 - jnp.abs(txs[p] - float(dx)))
+                        m = m + hys[p] * hx
+                    offx = sdx * dx + s0x
+                    phx = offx % fx
+                    rx = offx // fx - plan.qminx
+                    blk = exp_ref[
+                        phy, ry : ry + TQy, :, phx, rx : rx + TQx
+                    ]  # (TQy, d, TQx)
+                    out_ref[0] = out_ref[0] + m[:, None, :] * blk.astype(jnp.float32)
 
 
 @functools.partial(
@@ -349,42 +297,55 @@ def _pallas_impl(
     f32 = jnp.float32
 
     value_hm = value.transpose(0, 2, 1, 3).reshape(bh, K, d)
-    # coordinate layout (bh, L, P, K) — already q-minor from the module
     loc_x = x.reshape(bh, L, P, K)
     loc_y = y.reshape(bh, L, P, K)
     attw = w.reshape(bh, L, P, K)
 
     lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
 
-    # raw level slabs (bh, d, Htp, Wtp) shared by all select-mode pairs
+    # transposed level slabs (bh, Htp, d*Wtp): rows = target rows, cols =
+    # (channel, target col) — the row-selection dot contracts target rows
     sub_lvl = 8 * (4 // value.dtype.itemsize)
     lvl_slabs = []
+    lvl_dims = []
     for lt, (Ht, Wt) in enumerate(spatial_shapes):
         t0 = int(lvl_start[lt])
         v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
-        s = v_t.reshape(bh, Ht, Wt, d).transpose(0, 3, 1, 2)  # (bh, d, Ht, Wt)
+        s = v_t.reshape(bh, Ht, Wt, d).transpose(0, 1, 3, 2)  # (bh, Ht, d, Wt)
         Htp = -(-Ht // sub_lvl) * sub_lvl
         Wtp = -(-Wt // 128) * 128
-        lvl_slabs.append(jnp.pad(s, ((0, 0), (0, 0), (0, Htp - Ht), (0, Wtp - Wt))))
+        s = jnp.pad(s, ((0, 0), (0, Htp - Ht), (0, 0), (0, Wtp - Wt)))
+        lvl_slabs.append(s.reshape(bh, Htp, d * Wtp))
+        lvl_dims.append((Htp, Wtp))
+
     out_chunks = []
     for lq, (Hq, Wq) in enumerate(spatial_shapes):
         Kq = Hq * Wq
         q0 = int(lvl_start[lq])
         sub = 8 * (4 // value.dtype.itemsize)
-        TQy = min(max(tile[0], sub), max(sub, -(-Hq // sub) * sub))
-        TQx = min(tile[1], max(128, Wq))
+
+        def pick_tile(n, base, align):
+            # choose among {base, 2*base}: least padded total, then fewest
+            # launches (per-tile relaunch + slab-build overhead is real)
+            best = None
+            for c in (base, 2 * base):
+                c = max(align, -(-c // align) * align)
+                nt = -(-n // c)
+                key = (nt * c, nt, c)
+                if best is None or key < best:
+                    best = key
+            return best[2]
+
+        TQy = pick_tile(Hq, max(tile[0], sub), sub)
+        TQx = pick_tile(Wq, max(tile[1], 128), 128)
         nty = -(-Hq // TQy)
         ntx = -(-Wq // TQx)
         Hqp, Wqp = nty * TQy, ntx * TQx
 
-        plans = []
-        u_arrays = []
-        coord_arrays = []
+        out = jnp.zeros((bh, d, Hq, Wq), f32)
         coarse_parts = []
         for lt, (Ht, Wt) in enumerate(spatial_shapes):
             R = radius + pair_margin(lq, lt)
-            from codetr_tpu.ops.msda_grid import _ideal_scale
-
             if 2 * R + 3 > max_window:
                 # oversized window (coarse query -> much finer target): exact
                 # XLA im2col path with true anchors and a drift-only margin
@@ -400,84 +361,107 @@ def _pallas_impl(
                 )
                 continue
 
-            sub_align = 8 * (4 // value.dtype.itemsize)
             plan = _PairPlan(
                 lq, lt, Hq, Wq, Ht, Wt, R, TQy, TQx, Hqp, Wqp,
-                _ideal_scale(Hq, Ht), _ideal_scale(Wq, Wt),
-                sub_align=sub_align,
+                _ideal_scale(Hq, Ht), _ideal_scale(Wq, Wt), sub_align=sub,
             )
-            plans.append(plan)
-            if plan.select:
-                u_arrays.append(lvl_slabs[lt])
-            else:
-                t0 = int(lvl_start[lt])
-                v_t = jax.lax.slice_in_dim(value_hm, t0, t0 + Ht * Wt, axis=1)
-                u_arrays.append(_build_u(v_t, plan, bh, d))
+            W = plan.W
 
+            # window-frame coordinates + per-tile tap bounding boxes
             anch_y = _anchor(np.arange(Hq), Hq, Ht).astype(np.float32)
             anch_x = _anchor(np.arange(Wq), Wq, Wt).astype(np.float32)
             ay = jnp.asarray(np.broadcast_to(anch_y[:, None], (Hq, Wq)))
             ax = jnp.asarray(np.broadcast_to(anch_x[None, :], (Hq, Wq)))
 
-            x_l = jax.lax.slice_in_dim(loc_x, q0, q0 + Kq, axis=3)[:, lt]  # (bh,P,Kq)
+            x_l = jax.lax.slice_in_dim(loc_x, q0, q0 + Kq, axis=3)[:, lt]
             y_l = jax.lax.slice_in_dim(loc_y, q0, q0 + Kq, axis=3)[:, lt]
-            w_l = jax.lax.slice_in_dim(attw, q0, q0 + Kq, axis=3)[:, lt]  # (bh,P,Kq)
+            w_l = jax.lax.slice_in_dim(attw, q0, q0 + Kq, axis=3)[:, lt]
             pos_x = x_l.astype(f32).reshape(bh, P, Hq, Wq) * Wt - 0.5
             pos_y = y_l.astype(f32).reshape(bh, P, Hq, Wq) * Ht - 0.5
             ty = pos_y - ay + (R + 1.0)
             tx = pos_x - ax + (R + 1.0)
             ww = w_l.reshape(bh, P, Hq, Wq).astype(f32)
-            cat = jnp.concatenate([ty, tx, ww], axis=1)  # (bh, 3P, Hq, Wq)
-            # pad query grid to tile multiples; window coords in pad -> far
-            # outside [0, W) so hats are 0 there
-            cat = jnp.pad(
-                cat,
-                ((0, 0), (0, 0), (0, Hqp - Hq), (0, Wqp - Wq)),
-                constant_values=-1e6,
-            )
-            coord_arrays.append(cat)
 
-        out = jnp.zeros((bh, d, Hq, Wq), jnp.float32)
-        grid = (bh, nty, ntx)
-        for plan, u_arr, cat in zip(plans, u_arrays, coord_arrays):
-            if plan.select:
-                kernel = functools.partial(_pair_kernel_select, plan, P, d, TQy, TQx)
-                scratch_shapes = [
-                    pltpu.VMEM(u_arr.shape[1:], value.dtype),  # level cache
-                    pltpu.VMEM((d, plan.by, plan.bx), value.dtype),  # expanded
-                    pltpu.SemaphoreType.DMA,
-                ]
-            else:
-                kernel = functools.partial(_pair_kernel, plan, P, d, TQy, TQx)
-                scratch_shapes = [
-                    pltpu.VMEM((plan.fy, plan.fx, d, plan.by, plan.bx), value.dtype),
-                    pltpu.SemaphoreType.DMA,
-                ]
+            pad_y, pad_x = Hqp - Hq, Wqp - Wq
+            padc = ((0, 0), (0, 0), (0, pad_y), (0, pad_x))
+            cat = jnp.concatenate(
+                [
+                    jnp.pad(ty, padc, constant_values=1e6),
+                    jnp.pad(tx, padc, constant_values=1e6),
+                    jnp.pad(ww, padc),
+                ],
+                axis=1,
+            )  # (bh, 3P, Hqp, Wqp); pads sit far outside every window
+
+            # per-tile tap bounds: hat support of tap t is {floor(t),
+            # floor(t)+1}, so the tile's active cells per point form the
+            # rectangle [floor(min t), floor(max t)+1] per axis (pads
+            # excluded via +-inf masking)
+            def tile_minmax(a, big):
+                lo = jax.lax.reduce_window(
+                    jnp.pad(a, padc, constant_values=big),
+                    jnp.inf, jax.lax.min,
+                    (1, 1, TQy, TQx), (1, 1, TQy, TQx), "valid",
+                )
+                hi = jax.lax.reduce_window(
+                    jnp.pad(a, padc, constant_values=-big),
+                    -jnp.inf, jax.lax.max,
+                    (1, 1, TQy, TQx), (1, 1, TQy, TQx), "valid",
+                )
+                return lo, hi  # (bh, P, nty, ntx)
+
+            ty_lo, ty_hi = tile_minmax(ty, 1e30)
+            tx_lo, tx_hi = tile_minmax(tx, 1e30)
+
+            def fl(a):
+                return jnp.floor(jnp.clip(a, -100.0, W + 100.0)).astype(jnp.int32)
+
+            bounds = jnp.stack(
+                [fl(ty_lo), fl(ty_hi) + 1, fl(tx_lo), fl(tx_hi) + 1], axis=1
+            )  # (bh, 4, P, nty, ntx)
+            bounds = bounds.transpose(0, 3, 4, 1, 2).reshape(bh, nty, ntx, 1, 4 * P)
+
+            Htp, Wtp = lvl_dims[lt]
+            kernel = functools.partial(
+                _pair_kernel, plan, P, d, TQy, TQx, Htp, Wtp
+            )
             pair_out = pl.pallas_call(
                 kernel,
-                grid=grid,
+                grid=(bh, nty, ntx),
                 in_specs=[
-                    # the value slab stays in HBM; the kernel DMAs its halo
-                    # block / level cache (ANY lets the compiler pick VMEM and
-                    # blow the scoped budget)
-                    pl.BlockSpec(memory_space=pltpu.HBM),
+                    pl.BlockSpec(memory_space=pl.ANY),  # level slab (HBM)
                     pl.BlockSpec(
                         (1, 3 * P, TQy, TQx),
                         lambda b, i, j: (b, 0, i, j),
                         memory_space=pltpu.VMEM,
                     ),
+                    # SMEM blocks: last two dims must equal the array's,
+                    # hence the singleton axis
+                    pl.BlockSpec(
+                        (1, 1, 1, 1, 4 * P),
+                        lambda b, i, j: (b, i, j, 0, 0),
+                        memory_space=pltpu.SMEM,
+                    ),
                 ],
                 out_specs=pl.BlockSpec(
-                    (1, d, TQy, TQx), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
+                    (1, TQy, d, TQx),
+                    lambda b, i, j: (b, i, 0, j),
+                    memory_space=pltpu.VMEM,
                 ),
-                out_shape=jax.ShapeDtypeStruct((bh, d, Hqp, Wqp), jnp.float32),
-                scratch_shapes=scratch_shapes,
+                out_shape=jax.ShapeDtypeStruct((bh, Hqp, d, Wqp), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((Htp, d * Wtp), value.dtype),  # level cache
+                    pltpu.VMEM(
+                        (plan.fy, plan.byp, d, plan.fx, plan.bxp), value.dtype
+                    ),
+                    pltpu.SemaphoreType.DMA,
+                ],
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024,
                 ),
                 interpret=interpret,
-            )(u_arr, cat)
-            out = out + pair_out[:, :, :Hq, :Wq]
+            )(lvl_slabs[lt], cat, bounds)
+            out = out + pair_out[:, :Hq, :, :Wq].transpose(0, 2, 1, 3)
         for part in coarse_parts:
             out = out + part
         # (bh, d, Hq, Wq) -> (bs, Kq, h*d)

@@ -36,8 +36,8 @@ def parse_args():
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--output", default="codetr_tpu_export")
     ap.add_argument("--iterations", type=int, default=10)
-    ap.add_argument("--score-threshold", type=float, default=0.3)
-    ap.add_argument("--iou-threshold", type=float, default=0.5)
+    ap.add_argument("--score-threshold", type=float, default=0.0)  # test_cfg score_thr
+    ap.add_argument("--iou-threshold", type=float, default=0.8)  # test_cfg[0].nms iou
     ap.add_argument("--msda-impl", default="auto")
     ap.add_argument("--skip-benchmark", action="store_true")
     return ap.parse_args()

@@ -56,5 +56,93 @@ def test_duplicate_detections_penalized():
     m = evaluate_detections(preds, gts, num_classes=1)
     # second detection is a false positive at every threshold
     assert m["mAP_50"] > 0.99  # precision envelope keeps AP at 1.0 until recall 1
-    ap = average_precision(np.array([0.9, 0.8]), np.array([True, False]), 1)
+    ap, _ = average_precision(
+        np.array([0.9, 0.8]), np.array([True, False]), np.zeros(2, bool), 1
+    )
     assert ap > 0.99
+
+
+def test_crowd_gt_absorbs_extra_detections():
+    """COCOeval semantics: detections matched to an iscrowd gt are ignored
+    (neither TP nor FP), and a crowd can absorb multiple detections."""
+    gts = [{
+        "boxes": np.array([[0, 0, 10, 10], [50, 50, 100, 100]], float),
+        "labels": np.array([0, 0]),
+        "iscrowd": np.array([False, True]),
+    }]
+    preds = [{
+        "boxes": np.array([[0, 0, 10, 10], [55, 55, 70, 70], [60, 60, 90, 90]], float),
+        "labels": np.array([0, 0, 0]),
+        "scores": np.array([0.9, 0.8, 0.7]),
+    }]
+    m = evaluate_detections(preds, gts, num_classes=1)
+    # the two crowd-covered detections must not count as FPs -> perfect AP
+    assert m["mAP"] > 0.99
+    # without the crowd flag they are FPs and AP@0.5 drops
+    gts[0]["iscrowd"] = np.array([False, False])
+    m2 = evaluate_detections(preds, gts, num_classes=1)
+    assert m2["mAP_50"] < 0.99
+
+
+def test_area_range_metrics():
+    """Small gt (16x16=256 < 32^2) counts toward mAP_small only; large gt
+    (200x200) toward mAP_large only."""
+    gts = [{
+        "boxes": np.array([[0, 0, 16, 16], [100, 100, 300, 300]], float),
+        "labels": np.array([0, 0]),
+    }]
+    preds = [{
+        "boxes": np.array([[0, 0, 16, 16], [100, 100, 300, 300]], float),
+        "labels": np.array([0, 0]),
+        "scores": np.array([0.9, 0.8]),
+    }]
+    m = evaluate_detections(preds, gts, num_classes=1)
+    assert m["mAP_small"] > 0.99
+    assert m["mAP_large"] > 0.99
+    assert m["mAP_medium"] == 0.0  # no medium gts -> nan -> reported 0
+    assert m["mAP"] > 0.99
+
+
+def test_area_range_ignores_out_of_range_fp():
+    """An unmatched detection outside the area range must not be an FP for
+    that range: a tiny spurious det does not hurt mAP_large."""
+    gts = [{
+        "boxes": np.array([[100, 100, 300, 300]], float),
+        "labels": np.array([0]),
+    }]
+    preds = [{
+        "boxes": np.array([[0, 0, 5, 5], [100, 100, 300, 300]], float),
+        "labels": np.array([0, 0]),
+        "scores": np.array([0.95, 0.8]),
+    }]
+    m = evaluate_detections(preds, gts, num_classes=1)
+    assert m["mAP_large"] > 0.99
+    # in the "all" range the tiny det IS an FP ranked first: precision at
+    # full recall is 1/2, and the envelope cannot repair an early FP
+    assert abs(m["mAP_50"] - 0.5) < 0.02
+
+
+def test_hand_computed_ap_two_images():
+    """Hand-verified COCOeval numbers: 3 gts, 4 dets across 2 images.
+
+    Ranked dets (global): s=.9 TP, s=.8 FP, s=.7 TP, s=.6 TP (all IoU=1
+    where TP).  P/R points: (1/1, 1/3) (1/2, 1/3) (2/3, 2/3) (3/4, 3/3).
+    Envelope: precision(r<=1/3)=1, (1/3<r<=2/3)=0.75, (2/3<r<=1)=0.75.
+    101-pt AP = mean over r in {0,.01,..,1} of envelope:
+      r<=1/3 (34 pts): 1.0; r>1/3 (67 pts): 0.75 -> AP = (34 + 50.25)/101.
+    """
+    gts = [
+        {"boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float),
+         "labels": np.array([0, 0])},
+        {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0])},
+    ]
+    preds = [
+        {"boxes": np.array([[0, 0, 10, 10], [40, 40, 50, 50], [20, 20, 30, 30]], float),
+         "labels": np.array([0, 0, 0]), "scores": np.array([0.9, 0.8, 0.6])},
+        {"boxes": np.array([[0, 0, 10, 10]], float), "labels": np.array([0]),
+         "scores": np.array([0.7])},
+    ]
+    m = evaluate_detections(preds, gts, num_classes=1)
+    expected = (34 * 1.0 + 67 * 0.75) / 101
+    assert abs(m["mAP"] - expected) < 1e-9
+    assert abs(m["AR_100"] - 1.0) < 1e-9
