@@ -129,9 +129,14 @@ def _coarse_pair_xla(v_t, x_l, y_l, w_l, Hq, Wq, Ht, Wt, R, bh, d, P):
     return out.reshape(bh, Hq, Wq, d).transpose(0, 3, 1, 2)
 
 
-def _pair_kernel(plan, P, d, TQy, TQx, Htp, Wtp,
-                 u_ref, c_ref, b_ref, out_ref, lvl_ref, exp_ref, sem):
+def _pair_kernel(plan, P, d, TQy, TQx, Htp, Wtp, accumulate,
+                 u_ref, c_ref, b_ref, *refs):
     """One (lq, lt) pair, one query tile (see module docstring)."""
+    if accumulate:
+        acc_ref, out_ref, lvl_ref, exp_ref, sem = refs
+    else:
+        acc_ref = None
+        out_ref, lvl_ref, exp_ref, sem = refs
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -179,7 +184,10 @@ def _pair_kernel(plan, P, d, TQy, TQx, Htp, Wtp,
     lo_x = [b_ref[0, 0, 0, 0, 2 * P + p] for p in range(P)]
     hi_x = [b_ref[0, 0, 0, 0, 3 * P + p] for p in range(P)]
 
-    out_ref[0] = jnp.zeros((TQy, d, TQx), out_ref.dtype)
+    if accumulate:
+        out_ref[0] = acc_ref[0]  # carry the previous pairs' accumulator
+    else:
+        out_ref[0] = jnp.zeros((TQy, d, TQx), out_ref.dtype)
     sdy, s0y = py.sigma_d, py.s0
     sdx, s0x = px.sigma_d, px.s0
     for dy in range(W):
@@ -343,6 +351,7 @@ def _pallas_impl(
         Hqp, Wqp = nty * TQy, ntx * TQx
 
         out = jnp.zeros((bh, d, Hq, Wq), f32)
+        acc = None  # (bh, Hqp, d, Wqp) fp32, threaded through the pair kernels
         coarse_parts = []
         for lt, (Ht, Wt) in enumerate(spatial_shapes):
             R = radius + pair_margin(lq, lt)
@@ -423,31 +432,42 @@ def _pallas_impl(
 
             Htp, Wtp = lvl_dims[lt]
             kernel = functools.partial(
-                _pair_kernel, plan, P, d, TQy, TQx, Htp, Wtp
+                _pair_kernel, plan, P, d, TQy, TQx, Htp, Wtp, acc is not None
             )
-            pair_out = pl.pallas_call(
-                kernel,
-                grid=(bh, nty, ntx),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),  # level slab (HBM)
-                    pl.BlockSpec(
-                        (1, 3 * P, TQy, TQx),
-                        lambda b, i, j: (b, 0, i, j),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    # SMEM blocks: last two dims must equal the array's,
-                    # hence the singleton axis
-                    pl.BlockSpec(
-                        (1, 1, 1, 1, 4 * P),
-                        lambda b, i, j: (b, i, j, 0, 0),
-                        memory_space=pltpu.SMEM,
-                    ),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, TQy, d, TQx),
-                    lambda b, i, j: (b, i, 0, j),
+            out_spec = pl.BlockSpec(
+                (1, TQy, d, TQx),
+                lambda b, i, j: (b, i, 0, j),
+                memory_space=pltpu.VMEM,
+            )
+            in_specs = [
+                pl.BlockSpec(memory_space=pl.ANY),  # level slab (HBM)
+                pl.BlockSpec(
+                    (1, 3 * P, TQy, TQx),
+                    lambda b, i, j: (b, 0, i, j),
                     memory_space=pltpu.VMEM,
                 ),
+                # SMEM blocks: last two dims must equal the array's,
+                # hence the singleton axis
+                pl.BlockSpec(
+                    (1, 1, 1, 1, 4 * P),
+                    lambda b, i, j: (b, i, j, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+            ]
+            operands = [lvl_slabs[lt], cat, bounds]
+            aliases = {}
+            if acc is not None:
+                # accumulate across pairs IN the kernel (donated alias):
+                # per-pair partial outputs summed by XLA would double the
+                # HBM traffic of the (bh, Hqp, d, Wqp) fp32 accumulator
+                in_specs.append(out_spec)
+                operands.append(acc)
+                aliases = {3: 0}
+            acc = pl.pallas_call(
+                kernel,
+                grid=(bh, nty, ntx),
+                in_specs=in_specs,
+                out_specs=out_spec,
                 out_shape=jax.ShapeDtypeStruct((bh, Hqp, d, Wqp), jnp.float32),
                 scratch_shapes=[
                     pltpu.VMEM((Htp, d * Wtp), value.dtype),  # level cache
@@ -456,12 +476,14 @@ def _pallas_impl(
                     ),
                     pltpu.SemaphoreType.DMA,
                 ],
+                input_output_aliases=aliases,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024,
                 ),
                 interpret=interpret,
-            )(lvl_slabs[lt], cat, bounds)
-            out = out + pair_out[:, :Hq, :, :Wq].transpose(0, 2, 1, 3)
+            )(*operands)
+        if acc is not None:
+            out = out + acc[:, :Hq, :, :Wq].transpose(0, 2, 1, 3)
         for part in coarse_parts:
             out = out + part
         # (bh, d, Hq, Wq) -> (bs, Kq, h*d)

@@ -85,16 +85,51 @@ def compile_forward(
     return fwd_split, example
 
 
+def _flatten_params(params) -> dict:
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    out = {}
+    for kp, leaf in flat:
+        key = "/".join(getattr(k, "key", str(k)) for k in kp)
+        out[key] = np.asarray(leaf)
+    return out
+
+
+def _unflatten_params(flat: dict):
+    tree: dict = {}
+    for key, val in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
 def save_executable(
     path: str,
     fn: Callable,
     example_args: Sequence[jax.Array],
     *,
+    params=None,
     meta: Optional[dict] = None,
 ) -> str:
     """Serialize a jitted function at the example shapes (engine-save analog,
-    export.py:320-334)."""
-    exported = jax_export.export(jax.jit(fn))(*example_args)
+    export.py:320-334).
+
+    Two formats:
+    - ``params`` given: ``fn(params, *example_args)`` is exported with the
+      weights as an ARGUMENT pytree and the weights saved to a companion
+      ``.params.npz``.  Compile payloads stay small (the remote AOT compile
+      transport in this environment rejects modules with ~900MB of baked
+      constants), and one module serves many checkpoints.
+    - ``params`` None: ``fn(*example_args)`` is exported as-is; any weights
+      it closes over are baked into the module like TRT engine weights.
+    """
+    if params is not None:
+        exported = jax_export.export(jax.jit(fn))(params, *example_args)
+        np.savez(path + ".params.npz", **_flatten_params(params))
+    else:
+        exported = jax_export.export(jax.jit(fn))(*example_args)
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
@@ -106,6 +141,7 @@ def save_executable(
     meta = dict(meta or {})
     meta.update(
         magic=MAGIC,
+        weights_as_args=params is not None,
         in_avals=[[list(a.shape), str(a.dtype)] for a in example_args],
         platforms=list(exported.platforms),
     )
@@ -117,18 +153,30 @@ def save_executable(
 def load_executable(path: str) -> Callable:
     """Deserialize and return a callable (engine-load analog,
     codetr_inference.cpp:197-227).  The call recompiles once per process and
-    is cached by jit thereafter."""
+    is cached by jit thereafter.  If the artifact was saved with
+    weights-as-args, the companion ``.params.npz`` is rehydrated and bound."""
     with open(path, "rb") as f:
         blob = f.read()
     rehydrated = jax_export.deserialize(blob)
     meta_path = path + ".meta.json"
+    weights_as_args = os.path.exists(path + ".params.npz")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         if meta.get("magic") != MAGIC:
             raise ValueError(f"{path}: not a codetr-tpu executable (bad magic)")
+        weights_as_args = meta.get("weights_as_args", weights_as_args)
     call = jax.jit(rehydrated.call)
-    return call
+    if not weights_as_args:
+        return call
+    with np.load(path + ".params.npz") as z:
+        params = _unflatten_params({k: z[k] for k in z.files})
+    params = jax.device_put(params)
+
+    def bound(*args):
+        return call(params, *args)
+
+    return bound
 
 
 def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, warmup: int = 3):

@@ -334,7 +334,32 @@ def load_torch_checkpoint(path: str, cfg: CoDETRConfig, *, convert_swin_original
     sd = {k[len("module.") :] if k.startswith("module.") else k: v for k, v in sd.items()}
     if convert_swin_original:
         sd = swin_original_to_mmdet(sd)
-    return convert_state_dict(sd, cfg)
+
+    class _Tracking(dict):
+        """Records key reads so the load report can list unconsumed keys."""
+
+        def __init__(self, base):
+            super().__init__(base)
+            self.read = set()
+
+        def __getitem__(self, k):
+            self.read.add(k)
+            return super().__getitem__(k)
+
+    tsd = _Tracking(sd)
+    params = convert_state_dict(tsd, cfg)
+
+    from codetr_tpu.utils.logging import log_load_report
+
+    # aux training heads exist in mmdet checkpoints but this model never
+    # builds them (reference codetr.py:51-64 ignores them the same way)
+    train_only = ("rpn_head.", "roi_head.", "bbox_head.", "dn_", "label_emb")
+    unexpected = [
+        k for k in sd
+        if k not in tsd.read and not k.startswith(train_only)
+    ]
+    log_load_report(len(tsd.read), [], unexpected, path)
+    return params
 
 
 def get_dataset_meta(path: str) -> dict:

@@ -73,12 +73,17 @@ def main():
         batch_size=args.batch_size, dtype=dtype,
     )
 
-    # serialized-executable path (engine save/load analog, export.py:320-334)
+    # serialized-executable path (engine save/load analog, export.py:320-334).
+    # Weights ship as a companion blob + module ARGUMENT: baked-constant
+    # modules (~900MB for Swin-L) exceed the remote AOT compile transport.
     exe_path = os.path.join(args.output, "codetr.codetr.xla")
-    save_executable(exe_path, fn, example, meta={
-        "config": args.config, "dtype": args.dtype,
-        "height": args.height, "width": args.width, "batch_size": args.batch_size,
-    })
+    save_executable(
+        exe_path, lambda p, x, m: model.apply(p, x, m), example, params=params,
+        meta={
+            "config": args.config, "dtype": args.dtype,
+            "height": args.height, "width": args.width,
+            "batch_size": args.batch_size,
+        })
     print(f"saved executable: {exe_path} ({os.path.getsize(exe_path)/1e6:.1f} MB)")
 
     loaded = load_executable(exe_path)

@@ -9,6 +9,8 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU tunnel
+# persistent compile cache: repeat suite runs skip XLA:CPU recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -69,6 +69,26 @@ def test_aot_save_load_roundtrip(tiny):
         path = os.path.join(td, "tiny.codetr.xla")
         save_executable(path, fn, example)
         assert os.path.exists(path) and os.path.exists(path + ".meta.json")
+        assert os.path.exists(path + ".stablehlo")  # native-runtime input
+        loaded = load_executable(path)
+        a = fn(*example)
+        b = loaded(*example)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_aot_save_load_weights_as_args(tiny):
+    """Engine format used by export_aot.py: module takes the weight pytree
+    as an argument, weights ship in a companion .params.npz (baked-constant
+    modules exceed this environment's remote-compile payload limits)."""
+    cfg, model, params = tiny
+    fn, example = compile_forward(model, params, height=64, width=64)
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "tiny.codetr.xla")
+        save_executable(
+            path, lambda p, x, m: model.apply(p, x, m), example, params=params
+        )
+        assert os.path.exists(path + ".params.npz")
         loaded = load_executable(path)
         a = fn(*example)
         b = loaded(*example)

@@ -97,9 +97,9 @@ def test_grid_qm_envelope_correction_exact_for_wild_offsets(impl):
     match the exact flat-gather oracle — never a silent truncation."""
     from codetr_tpu.ops.msda import msda_grid_qm
 
-    shapes = ((16, 16), (8, 8), (4, 4))
+    shapes = ((12, 12), (6, 6))
     rng = np.random.default_rng(7)
-    value, loc, w = grid_inputs(rng, shapes, radius=4, jitter=2.0)
+    value, loc, w = grid_inputs(rng, shapes, num_heads=2, radius=4, jitter=2.0)
     # scatter wild offsets over many queries/points (8+ px from anchors)
     loc = np.asarray(loc).copy()
     idx = rng.integers(0, loc.shape[1], 40)
