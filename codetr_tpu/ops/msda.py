@@ -183,6 +183,107 @@ def multi_scale_deformable_attention_reference(
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes",))
+def msda_quad_gather(
+    value: jax.Array,
+    spatial_shapes: Shapes,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Exact MSDA for small query counts: ONE gathered row per tap carrying
+    all four bilinear corners.
+
+    Per level l, a quad table packs [v[k], v[k+1], v[k+W_l], v[k+W_l+1]] into
+    row k, so each (query, head, level, point) needs a single gather row —
+    half of msda_pair_gather's two and a quarter of the naive four.  The
+    measured TPU gather rate is row-count-bound and width-independent, so
+    this halves the decoder's cross-attention gather time again.  Row starts
+    are clamped inside the level (corner selection shifts compensate,
+    validity weights zero any out-of-image taps) — W_l varies per level,
+    hence per-level tables and per-level gathers.
+    """
+    _check_shapes(value, spatial_shapes, sampling_locations, attention_weights)
+    bs, K, h, d = value.shape
+    Q = sampling_locations.shape[1]
+    L = len(spatial_shapes)
+    P = sampling_locations.shape[4]
+    f32 = jnp.promote_types(value.dtype, jnp.float32)
+
+    coord_t = jnp.promote_types(sampling_locations.dtype, f32)
+    loc = sampling_locations.astype(coord_t).transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,Q)
+    attw = attention_weights.astype(f32).transpose(0, 2, 3, 4, 1)  # (bs,h,L,P,Q)
+
+    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
+    value_hm = value.transpose(0, 2, 1, 3).reshape(bs * h, K, d)
+
+    out = jnp.zeros((bs, h, Q, d), f32)
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        t0 = int(lvl_start[lvl])
+        v_l = jax.lax.slice_in_dim(value_hm, t0, t0 + Hl * Wl, axis=1)
+        n = Hl * Wl
+        flat = v_l.reshape(bs * h * n, d)
+        # quad rows: [k, k+1, k+Wl, k+Wl+1] — rolls wrap across image/batch
+        # rows but those entries are only read with zero validity weight
+        table4 = jnp.concatenate(
+            [
+                flat,
+                jnp.roll(flat, -1, axis=0),
+                jnp.roll(flat, -Wl, axis=0),
+                jnp.roll(flat, -(Wl + 1), axis=0),
+            ],
+            axis=1,
+        )  # (bs*h*n, 4d)
+
+        x = loc[:, :, lvl, :, 0] * Wl - 0.5  # (bs, h, P, Q)
+        y = loc[:, :, lvl, :, 1] * Hl - 0.5
+        w_l = attw[:, :, lvl]  # (bs, h, P, Q)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(f32)
+        ty = (y - y0).astype(f32)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        cs = jnp.clip(x0i, 0, max(Wl - 2, 0))
+        rs = jnp.clip(y0i, 0, max(Hl - 2, 0))
+        dx0 = (x0i - cs)[..., None]  # 0 when unclamped
+        dy0 = (y0i - rs)[..., None]
+        bh_off = (jnp.arange(bs * h, dtype=jnp.int32) * n).reshape(bs, h)[
+            :, :, None, None
+        ]
+        starts = bh_off + rs * Wl + cs
+        rows = _take_rows(table4, starts.reshape(-1)).reshape(*starts.shape, 4 * d)
+        quads = [rows[..., i * d : (i + 1) * d].astype(f32) for i in range(4)]
+
+        def corner(cy, cx):
+            # packed slot for image corner (y0+cy, x0+cx): shifted by the
+            # clamps; out-of-pack slots only occur with zero validity
+            slot_y = jnp.clip(dy0 + cy, 0, 1)
+            slot_x = jnp.clip(dx0 + cx, 0, 1)
+            v01 = jnp.where(slot_x == 0, quads[0], quads[1])
+            v23 = jnp.where(slot_x == 0, quads[2], quads[3])
+            v = jnp.where(slot_y == 0, v01, v23)
+            xi = x0i + cx
+            yi = y0i + cy
+            valid = (xi >= 0) & (xi < Wl) & (yi >= 0) & (yi < Hl)
+            # the pack only holds the true corner when the clamp shift kept
+            # it in range; clamped-out corners are invalid anyway
+            in_pack = (dy0[..., 0] + cy >= 0) & (dy0[..., 0] + cy <= 1) & (
+                dx0[..., 0] + cx >= 0
+            ) & (dx0[..., 0] + cx <= 1)
+            wx = tx if cx == 1 else (1.0 - tx)
+            wy = ty if cy == 1 else (1.0 - ty)
+            cw = (wx * wy * (valid & in_pack).astype(f32) * w_l)[..., None]
+            return v * cw
+
+        contrib = (
+            corner(0, 0) + corner(0, 1) + corner(1, 0) + corner(1, 1)
+        )  # (bs, h, P, Q, d)
+        out = out + contrib.sum(axis=2)
+
+    return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
+
+
+@partial(jax.jit, static_argnames=("spatial_shapes",))
 def msda_pair_gather(
     value: jax.Array,
     spatial_shapes: Shapes,
@@ -334,9 +435,9 @@ def multi_scale_deformable_attention(
       envelope="unchecked".
     """
     if impl == "auto" and not grid_queries:
-        # small query counts (decoder): pair-gather halves the row count
+        # small query counts (decoder): quad-gather = one row per tap
         if sampling_locations.shape[1] <= 4096:
-            return msda_pair_gather(
+            return msda_quad_gather(
                 value, spatial_shapes, sampling_locations, attention_weights
             )
         return multi_scale_deformable_attention_reference(

@@ -143,3 +143,41 @@ def test_pair_gather_matches_reference():
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
     got = msda_pair_gather(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_quad_gather_matches_reference():
+    """msda_quad_gather (one gathered row per tap, all 4 corners packed) vs
+    the oracle, including out-of-bounds, boundary rows/cols, and a W=2
+    level exercising the clamp shifts."""
+    from codetr_tpu.ops.msda import msda_quad_gather
+
+    rng = np.random.default_rng(8)
+    value, shapes, loc, w = make_inputs(
+        rng, bs=2, num_heads=4, head_dims=8, Q=37, P=4,
+        spatial_shapes=((7, 5), (4, 3), (2, 2)), dtype=np.float32, oob_fraction=0.3,
+    )
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_quad_gather(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_quad_gather_exact_boundary_taps():
+    """Taps exactly on corner/edge pixels (x0 = W-1, y0 = H-1, x0 = -1)."""
+    from codetr_tpu.ops.msda import msda_quad_gather
+
+    shapes = ((4, 4),)
+    rng = np.random.default_rng(9)
+    value = rng.standard_normal((1, 16, 2, 4)).astype(np.float32)
+    # pixel coords: (3.0, 3.0) corner; (-0.4, 2.0) left edge; (3.6, 0.2) right oob-ish
+    px = np.array([[3.0, -0.4, 3.6]])
+    py = np.array([[3.0, 2.0, 0.2]])
+    loc = np.zeros((1, 3, 2, 1, 1, 2), np.float32)
+    loc[0, :, 0, 0, 0, 0] = (px + 0.5) / 4.0
+    loc[0, :, 0, 0, 0, 1] = (py + 0.5) / 4.0
+    loc[0, :, 1] = loc[0, :, 0]
+    w = np.ones((1, 3, 2, 1, 1), np.float32)
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    got = msda_quad_gather(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
