@@ -37,6 +37,11 @@ class SwinConfig:
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    # gradient checkpointing / rematerialization for training (reference
+    # with_cp: torch.utils.checkpoint in Swin blocks, swin.py:381-383; the
+    # Swin-L config enables it).  TPU analog: jax.checkpoint on the scanned
+    # block pair — activations recomputed in the backward pass.
+    with_cp: bool = False
     patch_norm: bool = True
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0

@@ -73,6 +73,7 @@ class Inferencer:
         nms_type: str | None = None,
         classes: Sequence[str] = COCO_CLASSES,
         compiled_fn=None,
+        input_dtype=jnp.float32,
     ):
         self.cfg = cfg
         self.height = height
@@ -88,6 +89,8 @@ class Inferencer:
         )
         self.nms_type = cfg.head.nms_type if nms_type is None else nms_type
         self.classes = list(classes)
+        # serialized executables have FIXED input dtypes (engine semantics)
+        self.input_dtype = input_dtype
 
         if compiled_fn is None:
             fwd = lambda inputs, masks: model.apply(params, inputs, masks)
@@ -114,7 +117,8 @@ class Inferencer:
                 image, self.height, self.width, self.cfg.preprocess
             )
             boxes, scores, labels = self._fwd(
-                jnp.asarray(inputs)[None], jnp.asarray(mask)[None]
+                jnp.asarray(inputs, self.input_dtype)[None],
+                jnp.asarray(mask, jnp.float32)[None],
             )
             sf = jnp.asarray(
                 [scale_factor[0], scale_factor[1], scale_factor[0], scale_factor[1]],

@@ -301,8 +301,13 @@ class SwinTransformer(nn.Module):
         dims = c.embed_dims
         for i, depth in enumerate(c.depths):
             assert depth % 2 == 0, "Swin stage depths must be even"
+            # with_cp: remat the scanned pair (reference trains Swin-L with
+            # torch.utils.checkpoint, swin.py:381-383) — activations of each
+            # block pair are recomputed in the backward pass, trading ~33%
+            # FLOPs for O(depth) -> O(1) stage activation memory
+            body = nn.remat(SwinBlockPair) if c.with_cp else SwinBlockPair
             ScanStage = nn.scan(
-                SwinBlockPair,
+                body,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=depth // 2,

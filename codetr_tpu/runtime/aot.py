@@ -176,6 +176,10 @@ def load_executable(path: str) -> Callable:
     def bound(*args):
         return call(params, *args)
 
+    # wrapping `bound` in an on-device fori_loop would re-capture the weight
+    # pytree as loop constants (~900MB for Swin-L) and break the remote
+    # compile transport — benchmark() must time it by chained dispatch
+    bound.no_inline_loop = True  # type: ignore[attr-defined]
     return bound
 
 
@@ -193,7 +197,7 @@ def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, 
     out = fn(*args)
     jax.block_until_ready(out)
 
-    if hasattr(fn, "split_parts"):
+    if hasattr(fn, "split_parts") or getattr(fn, "no_inline_loop", False):
         # split executables cannot be wrapped in one on-device loop (that
         # would re-inline them into the monolithic graph); chain async
         # dispatches and sync once — per-dispatch overhead pipelines away.

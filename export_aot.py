@@ -102,7 +102,7 @@ def main():
         inf = Inferencer(
             model, params, cfg, height=args.height, width=args.width,
             score_threshold=args.score_threshold, iou_threshold=args.iou_threshold,
-            compiled_fn=loaded,
+            compiled_fn=loaded, input_dtype=dtype,
         )
         dets = inf([img])
         n = int(dets[0].keep.sum())

@@ -120,3 +120,31 @@ def test_flagship_configs_construct():
     r50 = co_dino_r50()
     assert r50.resnet.num_features == (256, 512, 1024, 2048)
     assert r50.neck.in_channels == r50.resnet.num_features
+
+
+def test_swin_with_cp_gradient_checkpointing():
+    """with_cp (reference swin.py:381-383): remat produces identical forward
+    values and finite gradients."""
+    import dataclasses
+
+    import jax
+
+    from codetr_tpu.config import SwinConfig
+    from codetr_tpu.models.swin import SwinTransformer
+
+    base = SwinConfig(
+        embed_dims=16, depths=(2, 2), num_heads=(2, 2), window_size=4,
+        out_indices=(0, 1),
+    )
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 32, 32, 3)), jnp.float32)
+    m_plain = SwinTransformer(cfg=base)
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+    m_cp = SwinTransformer(cfg=dataclasses.replace(base, with_cp=True))
+
+    outs_a = m_plain.apply(params, x)
+    outs_b = m_cp.apply(params, x)
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    g = jax.grad(lambda p: sum(jnp.sum(o**2) for o in m_cp.apply(p, x)))(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
