@@ -79,6 +79,40 @@ def verify_pallas_on_chip(height: int, width: int, dtype):
     )
 
 
+def measure_canary() -> float:
+    """Fixed reference op (decoder pair-gather, 900 queries): 3.3 ms/call on
+    a healthy chip (round 1).  Reported to stderr so every benchmark records
+    the environment's health alongside the headline number."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from codetr_tpu.ops.msda import msda_pair_gather
+
+    shapes = ((152, 152), (76, 76), (38, 38), (19, 19), (10, 10))
+    K = sum(hh * ww for hh, ww in shapes)
+    rng = np.random.default_rng(0)
+    value = jnp.asarray(rng.standard_normal((1, K, 8, 32)), jnp.bfloat16)
+    loc = jnp.asarray(rng.uniform(0.05, 0.95, (1, 900, 8, 5, 4, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0, 1, (1, 900, 8, 5, 4)), jnp.float32)
+    f = jax.jit(lambda v, l, ww: msda_pair_gather(v, shapes, l, ww))
+
+    def loop(n, *a):
+        def body(i, c):
+            o = f(*a)
+            return c + o.reshape(-1)[0].astype(jnp.float32) * 1e-12
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    lo = jax.jit(loop, static_argnums=0)
+    _ = np.asarray(lo(2, value, loc, w))
+    t0 = time.perf_counter()
+    _ = np.asarray(lo(10, value, loc, w))
+    return (time.perf_counter() - t0) / 10 * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=608)
@@ -107,6 +141,17 @@ def main():
 
     if args.verify:
         verify_pallas_on_chip(args.height, args.width, dtype)
+
+    canary_ms = measure_canary()
+    print(
+        json.dumps(
+            {"canary_pair_gather_900q_ms": round(canary_ms, 2),
+             "round1_healthy_ms": 3.3,
+             "note": "environment health reference: values >> 3.3 indicate a "
+                     "degraded/time-shared chip inflating the headline metric"}
+        ),
+        file=sys.stderr,
+    )
 
     model, params = build_codetr(
         co_dino_swin_l(),

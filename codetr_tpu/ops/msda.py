@@ -284,22 +284,26 @@ def msda_quad_gather(
 
 
 @partial(jax.jit, static_argnames=("spatial_shapes",))
-def msda_pair_gather(
+def msda_pair_gather_qm(
     value: jax.Array,
     spatial_shapes: Shapes,
-    sampling_locations: jax.Array,
-    attention_weights: jax.Array,
+    x_in: jax.Array,  # (bs, h, L, P, Q) normalized x
+    y_in: jax.Array,  # (bs, h, L, P, Q)
+    w_in: jax.Array,  # (bs, h, L, P, Q)
 ) -> jax.Array:
-    """Exact MSDA tuned for small query counts (decoder cross-attention,
-    900 queries): gathers each bilinear corner PAIR as one row of a
-    column-pair-packed table — half the gather rows of the 4-corner form,
-    and the measured TPU gather rate is row-count-bound, width-independent.
+    """Exact MSDA, pair-gather form, q-minor coordinates: each bilinear
+    corner PAIR is one row of a column-pair-packed table — half the gather
+    rows of the 4-corner oracle.  The measured TPU gather rate at encoder
+    scale is row-count-bound and width-independent, making this the fastest
+    exact MSDA measured on this hardware (ratio-calibrated: ~3.9 ms/call at
+    608x608 encoder shapes vs 7.9 ms for the oracle and 26+ ms for every
+    shift-window sweep variant — see ROUND2_NOTES.md).
     """
-    _check_shapes(value, spatial_shapes, sampling_locations, attention_weights)
     bs, K, h, d = value.shape
-    Q = sampling_locations.shape[1]
+    Q = x_in.shape[-1]
     L = len(spatial_shapes)
-    P = sampling_locations.shape[4]
+    P = x_in.shape[3]
+    assert x_in.shape == y_in.shape == w_in.shape == (bs, h, L, P, Q)
     f32 = jnp.promote_types(value.dtype, jnp.float32)
 
     table = value.transpose(0, 2, 1, 3).reshape(bs * h * K, d)
@@ -316,12 +320,11 @@ def msda_pair_gather(
     sizes_y = jnp.asarray(heights, f32)[None, None, :, None, None]
     bh_off = (jnp.arange(bs * h, dtype=jnp.int32) * K).reshape(bs, h)[:, :, None, None, None]
 
-    coord_t = jnp.promote_types(sampling_locations.dtype, f32)
-    loc = sampling_locations.astype(coord_t).transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,Q)
-    attw = attention_weights.astype(f32).transpose(0, 2, 3, 4, 1)  # (bs,h,L,P,Q)
+    coord_t = jnp.promote_types(x_in.dtype, f32)
+    attw = w_in.astype(f32)
 
-    x = loc[..., 0, :] * sizes_x - 0.5
-    y = loc[..., 1, :] * sizes_y - 0.5
+    x = x_in.astype(coord_t) * sizes_x - 0.5
+    y = y_in.astype(coord_t) * sizes_y - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     tx = (x - x0).astype(f32)
@@ -354,6 +357,22 @@ def msda_pair_gather(
     return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
 
 
+@partial(jax.jit, static_argnames=("spatial_shapes",))
+def msda_pair_gather(
+    value: jax.Array,
+    spatial_shapes: Shapes,
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """Reference-layout wrapper over the q-minor pair-gather core."""
+    _check_shapes(value, spatial_shapes, sampling_locations, attention_weights)
+    loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,Q)
+    attw = attention_weights.transpose(0, 2, 3, 4, 1)
+    return msda_pair_gather_qm(
+        value, spatial_shapes, loc[..., 0, :], loc[..., 1, :], attw
+    )
+
+
 def msda_grid_qm(
     value: jax.Array,
     spatial_shapes: Shapes,
@@ -377,7 +396,12 @@ def msda_grid_qm(
     guard (benchmarking only — silent truncation outside the envelope).
     """
     if impl == "auto":
-        impl = "grid_pallas" if jax.default_backend() == "tpu" else "grid"
+        # MEASURED (ratio-calibrated on chip, ROUND2_NOTES.md): exact
+        # pair-packed gather runs the full 608x608 encoder call in ~3.9 ms
+        # (vs 7.9 ms 4-corner oracle, 26 ms round-1 sweep, ~240 ms guarded
+        # sweep) — EXACT for all offsets, no envelope machinery.  The
+        # shift-window paths stay as explicit opt-ins for kernel research.
+        return msda_pair_gather_qm(value, spatial_shapes, x, y, w)
     from codetr_tpu.ops.msda_grid import envelope_mask, msda_grid_shift_qm
     from codetr_tpu.ops.msda_pallas import msda_grid_pallas_qm
 
@@ -435,9 +459,11 @@ def multi_scale_deformable_attention(
       envelope="unchecked".
     """
     if impl == "auto" and not grid_queries:
-        # small query counts (decoder): quad-gather = one row per tap
+        # small query counts (decoder): pair-gather (measured 3.3 ms at 900
+        # queries — the quad variant's five per-level gathers pay more fixed
+        # overhead than they save in rows)
         if sampling_locations.shape[1] <= 4096:
-            return msda_quad_gather(
+            return msda_pair_gather(
                 value, spatial_shapes, sampling_locations, attention_weights
             )
         return multi_scale_deformable_attention_reference(

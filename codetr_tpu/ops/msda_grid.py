@@ -60,14 +60,18 @@ def _anchor(i: np.ndarray, nq: int, nt: int, k: int | None = None) -> np.ndarray
 
 
 def pair_margin(lq: int, lt: int) -> int:
-    """Window slack: 0 same-level; 2 for finer-query -> coarser-target
-    (ratio deviation < 1 + vr drift <= 1); 2^(k+1) for coarser-query ->
-    finer-target (ratio deviation < 2^k + vr drift <= 2^k)."""
-    if lq == lt:
-        return 0
-    if lq < lt:
-        return 2
-    return 1 << (lq - lt + 1)
+    """Window slack beyond ``radius``: 0 same-level, 2 cross-level.
+
+    Cross-level slack covers the idealized-anchor snap (<= 1 for power-of-2
+    level ratios — exact on every real pyramid except pairs touching a
+    ceil-division tail like 19->10, where the drift stays < 1 px) plus the
+    valid-ratio drift (<= ~1 px, |vr_a - vr_b| <= 1/min level dim).  Taps
+    that exceed the window under extreme padding are NOT lost: the
+    dispatcher's envelope mask routes them through the exact flat-gather
+    oracle (ops/msda.py msda_grid_qm), so a small margin trades a rare
+    correction pass for a 1.6-3.2x smaller window sweep on every call (the
+    old worst case was 2^(lq-lt+1) slack -> W=27 windows)."""
+    return 0 if lq == lt else 2
 
 
 class _AxisPlan:
