@@ -120,10 +120,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--msda-impl", default="auto")
-    ap.add_argument("--no-split", action="store_true",
-                    help="compile one monolithic executable (default: split "
-                    "backbone|head — the monolithic Swin-L graph exceeds the "
-                    "remote AOT transport limits)")
+    ap.add_argument("--split", action="store_true",
+                    help="compile backbone|head as separate executables and "
+                    "time chained dispatches (needed for graphs that exceed "
+                    "the remote AOT transport, e.g. the opt-in Pallas paths; "
+                    "the default monolithic graph is timed with an on-device "
+                    "loop, which a split model cannot be)")
     ap.add_argument("--verify", action="store_true",
                     help="before timing, assert the compiled Pallas MSDA "
                     "kernel matches the flat-gather oracle ON THIS CHIP at "
@@ -161,7 +163,7 @@ def main():
     )
     fn, example = compile_forward(
         model, params, height=args.height, width=args.width, dtype=dtype,
-        split=not args.no_split,
+        split=args.split,
     )
     stats = benchmark(fn, example, iterations=args.iterations)
 

@@ -71,6 +71,10 @@ def compile_forward(
         def fwd(batch_inputs, img_masks):
             return jitted(params, batch_inputs, img_masks)
 
+        # benchmark() wraps this in an on-device loop; the weights must ride
+        # as loop ARGUMENTS there — a closure would bake ~871MB of constants
+        # into the loop graph and break the remote compile transport
+        fwd.bound = (jitted, params)  # type: ignore[attr-defined]
         return fwd, example
 
     feat_jit = jax.jit(lambda p, x: model.apply(p, x, method=model.features))
@@ -176,10 +180,8 @@ def load_executable(path: str) -> Callable:
     def bound(*args):
         return call(params, *args)
 
-    # wrapping `bound` in an on-device fori_loop would re-capture the weight
-    # pytree as loop constants (~900MB for Swin-L) and break the remote
-    # compile transport — benchmark() must time it by chained dispatch
-    bound.no_inline_loop = True  # type: ignore[attr-defined]
+    # benchmark() must pass the weights as loop ARGUMENTS (see compile_forward)
+    bound.bound = (call, params)  # type: ignore[attr-defined]
     return bound
 
 
@@ -197,7 +199,35 @@ def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, 
     out = fn(*args)
     jax.block_until_ready(out)
 
-    if hasattr(fn, "split_parts") or getattr(fn, "no_inline_loop", False):
+    bound = getattr(fn, "bound", None)
+    if bound is not None:
+        # on-device loop with the weight pytree as an ARGUMENT (closing over
+        # it would bake ~871MB of constants into the loop graph and break
+        # the remote compile transport)
+        inner, params = bound
+
+        def loop_b(n, p, *a):
+            def body(i, c):
+                o = inner(p, *a)
+                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        looped_b = jax.jit(loop_b, static_argnums=0)
+        _ = np.asarray(looped_b(warmup, params, *args))
+        t0 = time.perf_counter()
+        _ = np.asarray(looped_b(iterations, params, *args))
+        device_ms = (time.perf_counter() - t0) / iterations * 1e3
+        t0 = time.perf_counter()
+        _ = np.asarray(jax.tree.leaves(fn(*args))[0])
+        e2e_ms = (time.perf_counter() - t0) * 1e3
+        return {
+            "device_ms_per_iter": device_ms,
+            "host_e2e_ms": e2e_ms,
+            "iterations": iterations,
+        }
+
+    if hasattr(fn, "split_parts"):
         # split executables cannot be wrapped in one on-device loop (that
         # would re-inline them into the monolithic graph); chain async
         # dispatches and sync once — per-dispatch overhead pipelines away.
