@@ -115,8 +115,10 @@ def measure_canary() -> float:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=608)
-    ap.add_argument("--height", type=int, default=608)
+    # default = the BASELINE.json north-star config (beat 79.5 ms TRT-FP16
+    # at 1920x1280 on one v5e chip)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1280)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--iterations", type=int, default=10)
     ap.add_argument("--msda-impl", default="auto")

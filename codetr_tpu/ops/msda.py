@@ -283,13 +283,14 @@ def msda_quad_gather(
     return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
 
 
-@partial(jax.jit, static_argnames=("spatial_shapes",))
+@partial(jax.jit, static_argnames=("spatial_shapes", "q_chunk"))
 def msda_pair_gather_qm(
     value: jax.Array,
     spatial_shapes: Shapes,
     x_in: jax.Array,  # (bs, h, L, P, Q) normalized x
     y_in: jax.Array,  # (bs, h, L, P, Q)
     w_in: jax.Array,  # (bs, h, L, P, Q)
+    q_chunk: int = 8192,
 ) -> jax.Array:
     """Exact MSDA, pair-gather form, q-minor coordinates: each bilinear
     corner PAIR is one row of a column-pair-packed table — half the gather
@@ -321,39 +322,63 @@ def msda_pair_gather_qm(
     bh_off = (jnp.arange(bs * h, dtype=jnp.int32) * K).reshape(bs, h)[:, :, None, None, None]
 
     coord_t = jnp.promote_types(x_in.dtype, f32)
-    attw = w_in.astype(f32)
+    loc_x = x_in.astype(coord_t)
+    loc_y = y_in.astype(coord_t)
+    attw_all = w_in.astype(f32)
 
-    x = x_in.astype(coord_t) * sizes_x - 0.5
-    y = y_in.astype(coord_t) * sizes_y - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    tx = (x - x0).astype(f32)
-    ty = (y - y0).astype(f32)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    # chunk the query axis (lax.map) so the materialized (bs,h,L,P,qc,2d)
+    # row tensors stay bounded — unchunked at 1920x1280 encoder scale they
+    # exceed HBM (measured 17.2G > 15.75G)
+    qc = min(q_chunk, Q)
+    n_chunks = -(-Q // qc)
+    q_pad = n_chunks * qc
+    if q_pad != Q:
+        pad = [(0, 0)] * 4 + [(0, q_pad - Q)]
+        loc_x, loc_y, attw_all = (jnp.pad(a, pad) for a in (loc_x, loc_y, attw_all))
+    loc_x, loc_y, attw_all = (
+        jnp.moveaxis(a.reshape(bs, h, L, P, n_chunks, qc), 4, 0)
+        for a in (loc_x, loc_y, attw_all)
+    )
 
-    # W==1 levels would give Wl-2 == -1 and a negative flat start fed to a
-    # PROMISE_IN_BOUNDS gather (UB) — clamp the pair start to >= 0; the
-    # validity weights already zero the contributions.
-    cs = jnp.clip(x0i, 0, jnp.maximum(Wl - 2, 0))
-    d0 = (x0i - cs)[..., None]  # -1, 0, or 1 (wider when Wl == 1; weights are 0 there)
+    def one_chunk(args):
+        x_c, y_c, attw = args  # (bs,h,L,P,qc)
+        x = x_c * sizes_x - 0.5
+        y = y_c * sizes_y - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(f32)
+        ty = (y - y0).astype(f32)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
 
-    def wgt(xi, yi, wx, wy):
-        valid = (xi >= 0) & (xi < Wl) & (yi >= 0) & (yi < Hl)
-        return (wx * wy * valid.astype(f32) * attw)[..., None]
+        # W==1 levels would give Wl-2 == -1 and a negative flat start fed to
+        # a PROMISE_IN_BOUNDS gather (UB) — clamp the pair start to >= 0;
+        # the validity weights already zero the contributions.
+        cs = jnp.clip(x0i, 0, jnp.maximum(Wl - 2, 0))
+        d0 = (x0i - cs)[..., None]  # -1/0/1 (wider when Wl == 1; weights 0)
 
-    out = None
-    for cdy in (0, 1):
-        yi = y0i + cdy
-        starts = bh_off + start_l + jnp.clip(yi, 0, Hl - 1) * Wl + cs
-        rows = _take_rows(table2, starts.reshape(-1)).reshape(*starts.shape, 2 * d)
-        s0, s1 = rows[..., :d].astype(f32), rows[..., d:].astype(f32)
-        c_x0 = jnp.where(d0 == 0, s0, s1)
-        c_x1 = jnp.where(d0 == -1, s0, s1)
-        wy = ty if cdy == 1 else (1.0 - ty)
-        term = c_x0 * wgt(x0i, yi, 1.0 - tx, wy) + c_x1 * wgt(x0i + 1, yi, tx, wy)
-        out = term if out is None else out + term
-    out = out.sum(axis=(2, 3))  # (bs, h, Q, d)
+        def wgt(xi, yi, wx, wy):
+            valid = (xi >= 0) & (xi < Wl) & (yi >= 0) & (yi < Hl)
+            return (wx * wy * valid.astype(f32) * attw)[..., None]
+
+        out = None
+        for cdy in (0, 1):
+            yi = y0i + cdy
+            starts = bh_off + start_l + jnp.clip(yi, 0, Hl - 1) * Wl + cs
+            rows = _take_rows(table2, starts.reshape(-1)).reshape(*starts.shape, 2 * d)
+            s0, s1 = rows[..., :d].astype(f32), rows[..., d:].astype(f32)
+            c_x0 = jnp.where(d0 == 0, s0, s1)
+            c_x1 = jnp.where(d0 == -1, s0, s1)
+            wy = ty if cdy == 1 else (1.0 - ty)
+            term = c_x0 * wgt(x0i, yi, 1.0 - tx, wy) + c_x1 * wgt(x0i + 1, yi, tx, wy)
+            out = term if out is None else out + term
+        return out.sum(axis=(2, 3))  # (bs, h, qc, d)
+
+    if n_chunks == 1:
+        out = one_chunk((loc_x[0], loc_y[0], attw_all[0]))[None]
+    else:
+        out = jax.lax.map(one_chunk, (loc_x, loc_y, attw_all))
+    out = jnp.moveaxis(out, 0, 2).reshape(bs, h, q_pad, d)[:, :, :Q]
     return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
 
 
