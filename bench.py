@@ -121,6 +121,9 @@ def main():
     ap.add_argument("--height", type=int, default=1280)
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="batched-eval config (BASELINE configs[4]); the "
+                    "headline stays ms/IMAGE")
     ap.add_argument("--msda-impl", default="auto")
     ap.add_argument("--split", action="store_true",
                     help="compile backbone|head as separate executables and "
@@ -162,17 +165,19 @@ def main():
         dtype=dtype,
         msda_impl=args.msda_impl,
         input_shape=(args.height, args.width),
+        batch_size=args.batch_size,
     )
     fn, example = compile_forward(
         model, params, height=args.height, width=args.width, dtype=dtype,
-        split=args.split,
+        split=args.split, batch_size=args.batch_size,
     )
     stats = benchmark(fn, example, iterations=args.iterations)
 
     base = TRT_BASELINE_MS.get((args.width, args.height))
-    value = stats["device_ms_per_iter"]
+    value = stats["device_ms_per_iter"] / args.batch_size
+    bs_tag = f" bs{args.batch_size}" if args.batch_size != 1 else ""
     result = {
-        "metric": f"swin-l {args.width}x{args.height} {args.dtype} device latency",
+        "metric": f"swin-l {args.width}x{args.height} {args.dtype}{bs_tag} device latency",
         "value": round(value, 2),
         "unit": "ms/image",
         "vs_baseline": round(base / value, 3) if base else None,
