@@ -182,6 +182,135 @@ def multi_scale_deformable_attention_reference(
     )
 
 
+@partial(jax.jit, static_argnames=("spatial_shapes", "q_chunk"))
+def msda_pitched_gather_qm(
+    value: jax.Array,
+    spatial_shapes: Shapes,
+    x_in: jax.Array,  # (bs, h, L, P, Q) normalized x
+    y_in: jax.Array,  # (bs, h, L, P, Q)
+    w_in: jax.Array,  # (bs, h, L, P, Q)
+    q_chunk: int = 8192,
+) -> jax.Array:
+    """Exact MSDA, ONE gather row per tap: every level's rows are padded to
+    a common pitch, so the y-neighbor lives at a CONSTANT +pitch offset for
+    all levels and a single flat table can pack all four bilinear corners
+    [k, k+1, k+pitch, k+pitch+1] per row.
+
+    vs msda_pair_gather_qm this halves the gather rows again while keeping
+    ONE gather (the per-level-table variant lost to per-gather overheads);
+    the pitched table costs Σ Hl*pitch / Σ Hl*Wl ≈ 1.45x the value bytes.
+    """
+    bs, K, h, d = value.shape
+    Q = x_in.shape[-1]
+    L = len(spatial_shapes)
+    P = x_in.shape[3]
+    assert x_in.shape == y_in.shape == w_in.shape == (bs, h, L, P, Q)
+    f32 = jnp.promote_types(value.dtype, jnp.float32)
+
+    pitch = max(w for _, w in spatial_shapes)
+    heights = np.asarray([hh for hh, _ in spatial_shapes], np.int32)
+    widths = np.asarray([ww for _, ww in spatial_shapes], np.int32)
+    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
+    # pitched row base of each level, in pitched-table rows
+    row_base = np.concatenate([[0], np.cumsum(heights * pitch)])
+    R = int(row_base[-1])
+
+    value_hm = value.transpose(0, 2, 1, 3).reshape(bs * h, K, d)
+    parts = []
+    for lvl, (Hl, Wl) in enumerate(spatial_shapes):
+        t0 = int(lvl_start[lvl])
+        v_l = jax.lax.slice_in_dim(value_hm, t0, t0 + Hl * Wl, axis=1)
+        v_l = v_l.reshape(bs * h, Hl, Wl, d)
+        v_l = jnp.pad(v_l, ((0, 0), (0, 0), (0, pitch - Wl), (0, 0)))
+        parts.append(v_l.reshape(bs * h, Hl * pitch, d))
+    pitched = jnp.concatenate(parts, axis=1).reshape(bs * h * R, d)
+    table4 = jnp.concatenate(
+        [
+            pitched,
+            jnp.roll(pitched, -1, axis=0),
+            jnp.roll(pitched, -pitch, axis=0),
+            jnp.roll(pitched, -(pitch + 1), axis=0),
+        ],
+        axis=1,
+    )  # (bs*h*R, 4d); wrap rows only ever read with zero validity weight
+
+    Wl_b = jnp.asarray(widths)[None, None, :, None, None]
+    Hl_b = jnp.asarray(heights)[None, None, :, None, None]
+    base_b = jnp.asarray(row_base[:-1], jnp.int32)[None, None, :, None, None]
+    sizes_x = jnp.asarray(widths, f32)[None, None, :, None, None]
+    sizes_y = jnp.asarray(heights, f32)[None, None, :, None, None]
+    bh_off = (jnp.arange(bs * h, dtype=jnp.int32) * R).reshape(bs, h)[
+        :, :, None, None, None
+    ]
+
+    coord_t = jnp.promote_types(x_in.dtype, f32)
+    loc_x = x_in.astype(coord_t)
+    loc_y = y_in.astype(coord_t)
+    attw_all = w_in.astype(f32)
+
+    qc = min(q_chunk, Q)
+    n_chunks = -(-Q // qc)
+    q_pad = n_chunks * qc
+    if q_pad != Q:
+        pad = [(0, 0)] * 4 + [(0, q_pad - Q)]
+        loc_x, loc_y, attw_all = (jnp.pad(a, pad) for a in (loc_x, loc_y, attw_all))
+    loc_x, loc_y, attw_all = (
+        jnp.moveaxis(a.reshape(bs, h, L, P, n_chunks, qc), 4, 0)
+        for a in (loc_x, loc_y, attw_all)
+    )
+
+    def one_chunk(args):
+        x_c, y_c, attw = args
+        x = x_c * sizes_x - 0.5
+        y = y_c * sizes_y - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = (x - x0).astype(f32)
+        ty = (y - y0).astype(f32)
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+
+        # clamp the packed-row start inside the level; the corner slots
+        # shift under the clamps and validity weights zero out-of-image taps
+        cs = jnp.clip(x0i, 0, jnp.maximum(Wl_b - 2, 0))
+        rs = jnp.clip(y0i, 0, jnp.maximum(Hl_b - 2, 0))
+        dx0 = (x0i - cs)[..., None]
+        dy0 = (y0i - rs)[..., None]
+
+        starts = bh_off + base_b + rs * pitch + cs
+        rows = _take_rows(table4, starts.reshape(-1)).reshape(*starts.shape, 4 * d)
+        quads = [rows[..., i * d : (i + 1) * d].astype(f32) for i in range(4)]
+
+        out = None
+        for cy in (0, 1):
+            for cx in (0, 1):
+                slot_x = jnp.clip(dx0 + cx, 0, 1)
+                slot_y = jnp.clip(dy0 + cy, 0, 1)
+                v01 = jnp.where(slot_x == 0, quads[0], quads[1])
+                v23 = jnp.where(slot_x == 0, quads[2], quads[3])
+                v = jnp.where(slot_y == 0, v01, v23)
+                xi = x0i + cx
+                yi = y0i + cy
+                valid = (xi >= 0) & (xi < Wl_b) & (yi >= 0) & (yi < Hl_b)
+                in_pack = (
+                    (dy0[..., 0] + cy >= 0) & (dy0[..., 0] + cy <= 1)
+                    & (dx0[..., 0] + cx >= 0) & (dx0[..., 0] + cx <= 1)
+                )
+                wx = tx if cx == 1 else (1.0 - tx)
+                wy = ty if cy == 1 else (1.0 - ty)
+                cw = (wx * wy * (valid & in_pack).astype(f32) * attw)[..., None]
+                term = v * cw
+                out = term if out is None else out + term
+        return out.sum(axis=(2, 3))  # (bs, h, qc, d)
+
+    if n_chunks == 1:
+        out = one_chunk((loc_x[0], loc_y[0], attw_all[0]))[None]
+    else:
+        out = jax.lax.map(one_chunk, (loc_x, loc_y, attw_all))
+    out = jnp.moveaxis(out, 0, 2).reshape(bs, h, q_pad, d)[:, :, :Q]
+    return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
+
+
 @partial(jax.jit, static_argnames=("spatial_shapes",))
 def msda_quad_gather(
     value: jax.Array,

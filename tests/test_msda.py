@@ -181,3 +181,39 @@ def test_quad_gather_exact_boundary_taps():
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
     got = msda_quad_gather(jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_pitched_gather_matches_reference():
+    """msda_pitched_gather_qm (single 4-corner-packed gather over a common-
+    pitch table) vs the oracle, incl. out-of-bounds and boundary taps."""
+    from codetr_tpu.ops.msda import msda_pitched_gather_qm
+
+    rng = np.random.default_rng(10)
+    value, shapes, loc, w = make_inputs(
+        rng, bs=2, num_heads=4, head_dims=8, Q=37, P=4,
+        spatial_shapes=((7, 5), (4, 3), (2, 2)), dtype=np.float32, oob_fraction=0.3,
+    )
+    ref = multi_scale_deformable_attention_reference(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(w))
+    loc_t = jnp.asarray(loc).transpose(0, 2, 3, 4, 5, 1)
+    got = msda_pitched_gather_qm(
+        jnp.asarray(value), shapes, loc_t[..., 0, :], loc_t[..., 1, :],
+        jnp.asarray(w).transpose(0, 2, 3, 4, 1),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_pitched_gather_chunked_matches():
+    from codetr_tpu.ops.msda import msda_pitched_gather_qm
+
+    rng = np.random.default_rng(11)
+    value, shapes, loc, w = make_inputs(
+        rng, bs=1, num_heads=2, head_dims=4, Q=53, P=2,
+        spatial_shapes=((6, 6), (3, 3)), dtype=np.float32, oob_fraction=0.2,
+    )
+    loc_t = jnp.asarray(loc).transpose(0, 2, 3, 4, 5, 1)
+    args = (jnp.asarray(value), shapes, loc_t[..., 0, :], loc_t[..., 1, :],
+            jnp.asarray(w).transpose(0, 2, 3, 4, 1))
+    a = msda_pitched_gather_qm(*args, q_chunk=16)
+    b = msda_pitched_gather_qm(*args, q_chunk=8192)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
