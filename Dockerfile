@@ -15,10 +15,15 @@ RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-
 WORKDIR /workspace/codetr_tpu
 COPY . .
 
-# native host library (preprocess + NMS) + its smoke test
+# native host library (preprocess + NMS) + PJRT runner + smoke tests
+# (the PJRT smoke needs a plugin .so at runtime; run it only when one ships
+# in the image, e.g. libtpu on a TPU VM base)
 RUN cmake -S csrc -B csrc/build -DCMAKE_BUILD_TYPE=Release \
     && cmake --build csrc/build -j \
-    && ./csrc/build/test_host
+    && ./csrc/build/test_host \
+    && (PLUGIN=$(ls /opt/venv/lib/python3*/site-packages/libtpu/libtpu.so 2>/dev/null | head -1); \
+        if [ -n "$PLUGIN" ] && [ -x csrc/build/codetr_pjrt_runner ]; then \
+          ./csrc/build/codetr_pjrt_runner --plugin "$PLUGIN" --smoke; fi)
 
 # package install + CPU test suite (sharding tests run on a virtual mesh)
 RUN pip install --no-cache-dir -e . && python -m pytest tests/ -q
