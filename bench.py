@@ -182,6 +182,20 @@ def main():
         "unit": "ms/image",
         "vs_baseline": round(base / value, 3) if base else None,
     }
+    # environment-health calibration, carried in the same record: the chip
+    # behind the axon tunnel is sometimes time-shared/degraded (observed
+    # 40-105x in round 2); the canary is UNCHANGED round-1 code whose healthy
+    # time is 3.3 ms, so dilation = canary/3.3 and value/dilation estimates
+    # the healthy-chip latency.  `value` above remains the raw measurement.
+    dilation = canary_ms / 3.3
+    if dilation > 3.0:
+        result["canary_ms"] = round(canary_ms, 1)
+        result["chip_dilation_x"] = round(dilation, 1)
+        result["value_calibrated_est"] = round(value / dilation, 1)
+        if base:
+            result["vs_baseline_calibrated_est"] = round(
+                base / (value / dilation), 3
+            )
     print(json.dumps(result))
 
 

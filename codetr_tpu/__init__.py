@@ -8,10 +8,14 @@ capability TPU-first:
 - PyTorch modules          -> flax.linen modules, batch-first, NHWC convs
 - torch.export + TRT       -> jax.jit AOT lowering + serialized XLA executables
                               (codetr_tpu.runtime.aot, the ".engine" analog)
-- CUDA/TRT MSDA plugin     -> one fused Pallas kernel + a pure-jnp reference
-                              (codetr_tpu.ops.msda)
-- C++ TRT runtime          -> C++ host library (preprocess/NMS) + executable
-                              loader driving the serialized XLA executable
+- CUDA/TRT MSDA plugin     -> exact pair-packed XLA gather (measured fastest
+                              on this hardware) + opt-in fused Pallas
+                              shift-window kernel + pure-jnp oracle
+                              (codetr_tpu.ops.msda; ROUND2_NOTES.md has the
+                              measured design space)
+- C++ TRT runtime          -> C++ host library (preprocess/NMS) + PJRT C-API
+                              runner + python loader for serialized
+                              executables
 
 Reference layer map: /root/reference — see SURVEY.md for file:line citations.
 """
