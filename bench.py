@@ -171,7 +171,25 @@ def main():
         model, params, height=args.height, width=args.width, dtype=dtype,
         split=args.split, batch_size=args.batch_size,
     )
-    stats = benchmark(fn, example, iterations=args.iterations)
+    # the remote compile transport is flaky under load (broken pipe /
+    # truncated response observed); failed compiles are not cached, so a
+    # retry re-runs them cleanly
+    import time as _time
+
+    last = None
+    for attempt in range(4):
+        try:
+            stats = benchmark(fn, example, iterations=args.iterations)
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError et al.
+            last = e
+            if "remote_compile" not in str(e) and "UNAVAILABLE" not in str(e):
+                raise
+            print(f"transient compile-transport error (attempt {attempt + 1}): "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            _time.sleep(60)
+    else:
+        raise last
 
     base = TRT_BASELINE_MS.get((args.width, args.height))
     value = stats["device_ms_per_iter"] / args.batch_size
