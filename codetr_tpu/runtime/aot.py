@@ -185,19 +185,55 @@ def load_executable(path: str) -> Callable:
     return bound
 
 
-def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, warmup: int = 3):
-    """Latency statistics via an on-device loop.
+def _percentile_stats(block_ms: list) -> dict:
+    a = np.asarray(block_ms, np.float64)
+    return {
+        "device_ms_per_iter": float(a.mean()),
+        "p50_ms": float(np.percentile(a, 50)),
+        "p95_ms": float(np.percentile(a, 95)),
+        "min_ms": float(a.min()),
+        "blocks_ms": [round(float(x), 3) for x in a],
+    }
 
-    The remote-transport per-dispatch overhead (~35 ms through the axon
-    tunnel) would swamp per-call host timing, so we measure the mean over an
-    on-device fori_loop (the role trtexec's GPU-compute timing plays,
-    README.md:238-245), plus host-side wall times per single dispatch.
+
+def benchmark(
+    fn: Callable,
+    args: Sequence[jax.Array],
+    *,
+    iterations: int = 20,
+    warmup: int = 3,
+    blocks: int = 5,
+):
+    """Latency statistics via repeated on-device loops.
+
+    Taxonomy matches trtexec's GPU-compute reporting (reference
+    README.md:226-245: mean/median/percentiles): the per-dispatch host
+    overhead through the remote transport (~35 ms) would swamp per-iteration
+    host timing, so the run is split into ``blocks`` on-device fori_loops of
+    ``iterations/blocks`` iterations each; mean/p50/p95/min are computed over
+    the per-block ms/iter values.  Block medians are robust to transport
+    stalls between blocks; within-block variance is invisible (XLA executes
+    the loop without host round-trips), which is also true of trtexec under
+    --useCudaGraph.
     """
     import time
 
     # warmup / compile
     out = fn(*args)
     jax.block_until_ready(out)
+
+    m = max(1, iterations // max(1, blocks))
+
+    def timed_blocks(run_loop) -> dict:
+        run_loop(warmup)  # separate warmup of the loop graph itself
+        per_block = []
+        for _ in range(blocks):
+            t0 = time.perf_counter()
+            run_loop(m)
+            per_block.append((time.perf_counter() - t0) / m * 1e3)
+        stats = _percentile_stats(per_block)
+        stats["iterations"] = m * blocks
+        return stats
 
     bound = getattr(fn, "bound", None)
     if bound is not None:
@@ -214,31 +250,18 @@ def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         looped_b = jax.jit(loop_b, static_argnums=0)
-        _ = np.asarray(looped_b(warmup, params, *args))
-        t0 = time.perf_counter()
-        _ = np.asarray(looped_b(iterations, params, *args))
-        device_ms = (time.perf_counter() - t0) / iterations * 1e3
-        t0 = time.perf_counter()
-        _ = np.asarray(jax.tree.leaves(fn(*args))[0])
-        e2e_ms = (time.perf_counter() - t0) * 1e3
-        return {
-            "device_ms_per_iter": device_ms,
-            "host_e2e_ms": e2e_ms,
-            "iterations": iterations,
-        }
-
-    if hasattr(fn, "split_parts"):
+        stats = timed_blocks(lambda n: np.asarray(looped_b(n, params, *args)))
+    elif hasattr(fn, "split_parts"):
         # split executables cannot be wrapped in one on-device loop (that
         # would re-inline them into the monolithic graph); chain async
-        # dispatches and sync once — per-dispatch overhead pipelines away.
-        for _ in range(warmup):
-            out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0])
-        t0 = time.perf_counter()
-        for _ in range(iterations):
-            out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0])
-        device_ms = (time.perf_counter() - t0) / iterations * 1e3
+        # dispatches and sync once per block — per-dispatch overhead
+        # pipelines away.
+        def chain(n):
+            for _ in range(n):
+                o = fn(*args)
+            np.asarray(jax.tree.leaves(o)[0])
+
+        stats = timed_blocks(chain)
     else:
 
         def loop(n, *a):
@@ -249,12 +272,9 @@ def benchmark(fn: Callable, args: Sequence[jax.Array], *, iterations: int = 20, 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
         looped = jax.jit(loop, static_argnums=0)
-        _ = np.asarray(looped(warmup, *args))
-        t0 = time.perf_counter()
-        _ = np.asarray(looped(iterations, *args))
-        device_ms = (time.perf_counter() - t0) / iterations * 1e3
+        stats = timed_blocks(lambda n: np.asarray(looped(n, *args)))
 
     t0 = time.perf_counter()
     _ = np.asarray(jax.tree.leaves(fn(*args))[0])
-    e2e_ms = (time.perf_counter() - t0) * 1e3
-    return {"device_ms_per_iter": device_ms, "host_e2e_ms": e2e_ms, "iterations": iterations}
+    stats["host_e2e_ms"] = (time.perf_counter() - t0) * 1e3
+    return stats

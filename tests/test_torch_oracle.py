@@ -74,9 +74,30 @@ def _assert_parity(torch_out, jax_out, feat_tol, score_tol, box_tol):
 
     s_err = np.abs(np.asarray(j_scores) - t_scores.numpy()).max()
     assert s_err < score_tol, f"scores err {s_err:.2e}"
-    assert (np.asarray(j_labels) == t_labels.numpy()).mean() > 0.99, "labels diverged"
-    b_err = np.abs(np.asarray(j_boxes) - t_boxes.numpy()).max()
-    assert b_err < box_tol, f"boxes err {b_err:.2e} px"
+    # SET-WISE detection match (SURVEY.md §4: fp32 noise legitimately swaps
+    # the rank order of near-tied top-k entries; index-wise comparison is the
+    # wrong test).  Greedy-match each torch detection to an unused jax
+    # detection with the same label and the nearest box.
+    tb, tl = t_boxes.numpy()[0], t_labels.numpy()[0]
+    jb, jl = np.asarray(j_boxes)[0], np.asarray(j_labels)[0]
+    used = np.zeros(len(jb), bool)
+    worst = 0.0
+    unmatched = 0
+    for i in range(len(tb)):
+        cand = np.where((jl == tl[i]) & ~used)[0]
+        if len(cand) == 0:
+            unmatched += 1
+            continue
+        d = np.abs(jb[cand] - tb[i]).max(axis=1)
+        k = cand[np.argmin(d)]
+        if d.min() > box_tol:
+            unmatched += 1
+            continue
+        used[k] = True
+        worst = max(worst, float(d.min()))
+    assert unmatched <= max(1, len(tb) // 100), (
+        f"{unmatched}/{len(tb)} detections unmatched (worst matched err {worst:.2e} px)"
+    )
 
 
 def test_tiny_full_model_parity_vs_torch():
