@@ -19,9 +19,20 @@ import jax
 import jax.numpy as jnp
 
 from codetr_tpu.config import HeadConfig
-from codetr_tpu.models.layers import Mlp, nearest_resize_mask
+from codetr_tpu.models.layers import (
+    DenseParams,
+    Mlp,
+    MlpParams,
+    dense_apply,
+    mlp_apply,
+    nearest_resize_mask,
+)
 from codetr_tpu.models.positional_encoding import sine_positional_encoding
 from codetr_tpu.models.transformer import CoDinoTransformer
+
+
+def _tree_slice(tree, i):
+    return jax.tree.map(lambda a: a[i], tree)
 
 
 class CoDINOHead(nn.Module):
@@ -31,21 +42,25 @@ class CoDINOHead(nn.Module):
 
     def setup(self):
         c = self.cfg
-        num_pred = c.transformer.num_decoder_layers + 1
-        self.cls_branches = [
-            nn.Dense(c.num_classes, dtype=self.dtype, param_dtype=jnp.float32, name=f"cls_branches_{i}")
-            for i in range(num_pred)
-        ]
-        self.reg_branches = [
-            Mlp(
-                hidden_dim=c.transformer.embed_dims,
-                output_dim=4,
-                num_layers=c.num_reg_fcs + 1,
-                dtype=self.dtype,
-                name=f"reg_branches_{i}",
-            )
-            for i in range(num_pred)
-        ]
+        nd = c.transformer.num_decoder_layers
+        E = c.transformer.embed_dims
+        # branches 0..nd-1 (the decoder layers) are STACKED param banks: the
+        # reg bank is consumed one slice per nn.scan step inside the decoder,
+        # the cls bank is applied to the stacked intermediate states; branch
+        # index nd serves the encoder stage and stays a separate module
+        # (reference: 7 clones, co_dino_head.py:103-113)
+        self.cls_bank = DenseParams(in_dim=E, out_dim=c.num_classes, stack=nd, name="cls_branches")
+        self.cls_branch_enc = nn.Dense(
+            c.num_classes, dtype=self.dtype, param_dtype=jnp.float32, name=f"cls_branches_{nd}"
+        )
+        self.reg_bank = MlpParams(
+            in_dim=E, hidden_dim=E, output_dim=4, num_layers=c.num_reg_fcs + 1,
+            stack=nd, name="reg_branches",
+        )
+        self.reg_branch_enc = Mlp(
+            hidden_dim=E, output_dim=4, num_layers=c.num_reg_fcs + 1,
+            dtype=self.dtype, name=f"reg_branches_{nd}",
+        )
         self.transformer = CoDinoTransformer(
             cfg=c.transformer, dtype=self.dtype, msda_impl=self.msda_impl, name="transformer"
         )
@@ -65,8 +80,9 @@ class CoDINOHead(nn.Module):
             mlvl_feats,
             mlvl_masks,
             mlvl_pos,
-            reg_branches=self.reg_branches,
-            cls_branches=self.cls_branches,
+            reg_stack=self.reg_bank(),
+            reg_branch_enc=self.reg_branch_enc,
+            cls_branch_enc=self.cls_branch_enc,
         )
 
     def raw_predictions(self, mlvl_feats, img_masks):
@@ -75,10 +91,15 @@ class CoDINOHead(nn.Module):
         mmdet's DINO head supervises (all_layers_outputs_classes/coords)."""
         _, _, aux = self._run_transformer(mlvl_feats, img_masks)
         states = aux["inter_states"]  # (nl, bs, nq, C)
-        nl = states.shape[0]
-        all_cls = jnp.stack(
-            [self.cls_branches[i](states[i]).astype(jnp.float32) for i in range(nl)]
-        )  # (nl, bs, nq, ncls) logits
+        cls = self.cls_bank()
+        all_cls = (
+            jnp.einsum(
+                "lbqc,lcn->lbqn",
+                states.astype(self.dtype),
+                cls["kernel"].astype(self.dtype),
+            )
+            + cls["bias"].astype(self.dtype)[:, None, None, :]
+        ).astype(jnp.float32)  # (nl, bs, nq, ncls) logits
         all_coords = jax.nn.sigmoid(
             aux["inter_refs_unact"].astype(jnp.float32)
         )  # (nl, bs, nq, 4) cxcywh in [0,1]
@@ -100,8 +121,10 @@ class CoDINOHead(nn.Module):
         final_state, final_refs_unact, _ = self._run_transformer(mlvl_feats, img_masks)
 
         lvl = c.transformer.num_decoder_layers - 1
-        outputs_classes = self.cls_branches[lvl](final_state)  # (bs, nq, num_classes)
-        tmp = self.reg_branches[lvl](final_state)
+        outputs_classes = dense_apply(
+            _tree_slice(self.cls_bank(), lvl), final_state, dtype=self.dtype
+        )  # (bs, nq, num_classes)
+        tmp = mlp_apply(_tree_slice(self.reg_bank(), lvl), final_state, dtype=self.dtype)
         tmp = tmp + final_refs_unact
         outputs_coords = jax.nn.sigmoid(tmp.astype(jnp.float32))  # (bs, nq, 4) cxcywh
 

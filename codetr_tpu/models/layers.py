@@ -58,6 +58,83 @@ class Mlp(nn.Module):
         return x
 
 
+def _stacked_lecun(stack: int):
+    """lecun_normal whose fan-in ignores the leading stack axis (each slice
+    of a stacked kernel bank initializes like an independent nn.Dense)."""
+    if stack:
+        return jax.nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal", in_axis=-2, out_axis=-1, batch_axis=(0,)
+        )
+    return nn.initializers.lecun_normal()
+
+
+class DenseParams(nn.Module):
+    """Single-layer analog of :class:`MlpParams`: a (stacked) Dense kernel +
+    bias bank (tree ``{"kernel", "bias"}``)."""
+
+    in_dim: int
+    out_dim: int
+    stack: int = 0
+
+    @nn.compact
+    def __call__(self):
+        lead = (self.stack,) if self.stack else ()
+        return {
+            "kernel": self.param(
+                "kernel", _stacked_lecun(self.stack), lead + (self.in_dim, self.out_dim), jnp.float32
+            ),
+            "bias": self.param("bias", nn.initializers.zeros, lead + (self.out_dim,), jnp.float32),
+        }
+
+
+class MlpParams(nn.Module):
+    """Parameter bank with the exact tree of :class:`Mlp` (``layers_i``
+    submodule scopes holding ``kernel``/``bias``), optionally stacked on a
+    leading axis.
+
+    Used where weights must cross a ``nn.scan`` boundary as *data*: the
+    decoder consumes one reg-branch slice per scan step (in_axes=0) and the
+    shared ref_point_head tree as a broadcast input — neither is expressible
+    as an ordinary submodule inside the scanned body (scan would stack the
+    shared weights / share the per-layer ones).  Apply with :func:`mlp_apply`.
+    """
+
+    in_dim: int
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    stack: int = 0  # 0 = unstacked
+
+    @nn.compact
+    def __call__(self):
+        dims_in = [self.in_dim] + [self.hidden_dim] * (self.num_layers - 1)
+        dims_out = [self.hidden_dim] * (self.num_layers - 1) + [self.output_dim]
+        return {
+            f"layers_{i}": DenseParams(
+                in_dim=di, out_dim=do, stack=self.stack, name=f"layers_{i}"
+            )()
+            for i, (di, do) in enumerate(zip(dims_in, dims_out))
+        }
+
+
+def mlp_apply(tree, x, *, dtype):
+    """Apply an :class:`MlpParams` tree exactly like :class:`Mlp`:
+    (n-1) x [Dense, ReLU] + Dense, with nn.Dense's dtype promotion (params
+    cast to ``dtype``, fp32 storage)."""
+    n = len(tree)
+    for i in range(n):
+        p = tree[f"layers_{i}"]
+        x = x.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+        if i < n - 1:
+            x = nn.relu(x)
+    return x
+
+
+def dense_apply(p, x, *, dtype):
+    """Apply a :class:`DenseParams` tree like nn.Dense."""
+    return x.astype(dtype) @ p["kernel"].astype(dtype) + p["bias"].astype(dtype)
+
+
 class FFN(nn.Module):
     """Feed-forward with residual (reference: transformer_mmcv.py:431-500).
     Dropout is inert at inference and omitted (rates are 0.0 in all configs)."""

@@ -30,7 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from codetr_tpu.config import TransformerConfig
-from codetr_tpu.models.layers import FFN, MultiheadAttention, layer_norm
+from codetr_tpu.models.layers import (
+    FFN,
+    MlpParams,
+    MultiheadAttention,
+    layer_norm,
+    mlp_apply,
+)
 from codetr_tpu.models.msda_module import MultiScaleDeformableAttention
 from codetr_tpu.models.positional_encoding import gen_sineembed_for_position
 
@@ -142,47 +148,76 @@ class DetrTransformerEncoderLayer(nn.Module):
 
 
 class DetrTransformerDecoderLayer(nn.Module):
-    """MHA self-attn -> LN -> MSDA cross-attn -> LN -> FFN -> LN
-    (config co_dino_5scale_r50_lsj:84-101)."""
+    """One scan step of the iterative-refinement decoder: query-pos sine
+    embedding (shared ref_point_head weights arrive as a broadcast input) ->
+    MHA self-attn -> LN -> MSDA cross-attn -> LN -> FFN -> LN -> box
+    refinement with this step's reg-branch slice
+    (config co_dino_5scale_r50_lsj:84-101; refinement transformer.py:223-226).
+
+    The 6 layers are driven by ``nn.scan`` with stacked params — the body
+    (MHA + MSDA + FFN + three LayerNorms + two MLP applications) is traced
+    and compiled ONCE instead of six times, collapsing the decoder's
+    many-small-kernels dispatch chain into one XLA while-loop (the round-2
+    fixed-cost hotspot: ~22 ms calibrated at 608x608 where the whole TRT
+    baseline is 13.4 ms).
+    """
 
     cfg: TransformerConfig
+    spatial_shapes: Shapes
     dtype: jnp.dtype = jnp.float32
     msda_impl: str = "auto"
 
     @nn.compact
-    def __call__(
-        self, query, memory, query_pos, key_padding_mask, reference_points, spatial_shapes
-    ):
+    def __call__(self, carry, reg_slice, rph_tree, memory, key_padding_mask, vr4):
+        query, reference_points = carry  # (bs,nq,C), (bs,nq,4) fp32 unactivated
+        c = self.cfg
+
+        ref_sig = jax.nn.sigmoid(reference_points.astype(jnp.float32))
+        ref_input = ref_sig[:, :, None, :] * vr4[:, None]  # (bs, nq, L, 4)
+        sine = gen_sineembed_for_position(
+            ref_input[:, :, 0, :].astype(self.dtype), c.embed_dims // 2
+        )  # (bs, nq, 2*embed)
+        query_pos = mlp_apply(rph_tree, sine, dtype=self.dtype)
+
         query = MultiheadAttention(
-            embed_dims=self.cfg.embed_dims,
-            num_heads=self.cfg.decoder_layer.self_attn_heads,
+            embed_dims=c.embed_dims,
+            num_heads=c.decoder_layer.self_attn_heads,
             dtype=self.dtype,
             name="self_attn",
         )(query, query_pos=query_pos)
         query = layer_norm(query, dtype=self.dtype, name="norm1")
         query = MultiScaleDeformableAttention(
-            cfg=self.cfg.decoder_layer.cross_attn, dtype=self.dtype, impl=self.msda_impl, name="cross_attn"
+            cfg=c.decoder_layer.cross_attn, dtype=self.dtype, impl=self.msda_impl, name="cross_attn"
         )(
             query,
             value=memory,
             query_pos=query_pos,
             key_padding_mask=key_padding_mask,
-            reference_points=reference_points,
-            spatial_shapes=spatial_shapes,
+            reference_points=ref_input.astype(self.dtype),
+            spatial_shapes=self.spatial_shapes,
         )
         query = layer_norm(query, dtype=self.dtype, name="norm2")
         query = FFN(
-            feedforward_channels=self.cfg.decoder_layer.feedforward_channels,
-            embed_dims=self.cfg.embed_dims,
+            feedforward_channels=c.decoder_layer.feedforward_channels,
+            embed_dims=c.embed_dims,
             dtype=self.dtype,
             name="ffn",
         )(query)
-        return layer_norm(query, dtype=self.dtype, name="norm3")
+        query = layer_norm(query, dtype=self.dtype, name="norm3")
+
+        # iterative refinement in unactivated space: per-layer refs equal
+        # reg_branches[lid](state) + inverse_sigmoid(ref_in) — exactly the
+        # per-layer coordinate predictions mmdet's DINO head supervises
+        reference_points = (
+            mlp_apply(reg_slice, query, dtype=self.dtype).astype(jnp.float32)
+            + reference_points
+        )
+        return (query, reference_points), (query, reference_points)
 
 
 class DinoTransformerDecoder(nn.Module):
     """Iterative box-refinement decoder
-    (reference: DinoTransformerDecoder, transformer.py:120-230)."""
+    (reference: DinoTransformerDecoder, transformer.py:120-230), scanned."""
 
     cfg: TransformerConfig
     dtype: jnp.dtype = jnp.float32
@@ -194,58 +229,47 @@ class DinoTransformerDecoder(nn.Module):
         query,  # (bs, nq, C)
         memory,  # (bs, K, C)
         key_padding_mask,  # (bs, K)
-        reference_points,  # (bs, nq, 4) unactivated
+        reference_points,  # (bs, nq, 4) unactivated fp32
         spatial_shapes: Shapes,
         valid_ratios,  # (bs, L, 2)
-        reg_branches: Sequence[Any],
+        reg_stack,  # MlpParams tree stacked on axis 0 (num_decoder_layers, ...)
     ):
         c = self.cfg
-        from codetr_tpu.models.layers import Mlp
+        rph_tree = MlpParams(
+            in_dim=2 * c.embed_dims, hidden_dim=c.embed_dims, output_dim=c.embed_dims,
+            num_layers=2, name="ref_point_head",
+        )()
+        vr4 = jnp.concatenate([valid_ratios, valid_ratios], axis=-1)  # (bs, L, 4)
 
-        ref_point_head = Mlp(
-            hidden_dim=c.embed_dims, output_dim=c.embed_dims, num_layers=2,
-            dtype=self.dtype, name="ref_point_head",
+        ScanDecoder = nn.scan(
+            DetrTransformerDecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            length=c.num_decoder_layers,
         )
-
-        output = query
-        inter_states = []
-        inter_refs = []
-        for lid in range(c.num_decoder_layers):
-            ref_sig = jax.nn.sigmoid(reference_points.astype(jnp.float32))
-            vr = jnp.concatenate([valid_ratios, valid_ratios], axis=-1)  # (bs, L, 4)
-            ref_input = ref_sig[:, :, None, :] * vr[:, None]  # (bs, nq, L, 4)
-
-            sine = gen_sineembed_for_position(
-                ref_input[:, :, 0, :].astype(self.dtype), c.embed_dims // 2
-            )  # (bs, nq, 2*embed)
-            query_pos = ref_point_head(sine)
-
-            output = DetrTransformerDecoderLayer(
-                cfg=c, dtype=self.dtype, msda_impl=self.msda_impl, name=f"layers_{lid}"
-            )(
-                output,
-                memory,
-                query_pos=query_pos,
-                key_padding_mask=key_padding_mask,
-                reference_points=ref_input.astype(self.dtype),
-                spatial_shapes=spatial_shapes,
-            )
-
-            # iterative refinement in unactivated space
-            # (reference: transformer.py:223-226); per-layer refs equal
-            # reg_branches[lid](state) + inverse_sigmoid(ref_in) — exactly the
-            # per-layer coordinate predictions mmdet's DINO head supervises
-            reference_points = reg_branches[lid](output) + reference_points
-            inter_states.append(output)
-            inter_refs.append(reference_points)
+        (output, reference_points), (inter_states, inter_refs) = ScanDecoder(
+            cfg=c,
+            spatial_shapes=spatial_shapes,
+            dtype=self.dtype,
+            msda_impl=self.msda_impl,
+            name="layers",
+        )(
+            (query, reference_points.astype(jnp.float32)),
+            reg_stack,
+            rph_tree,
+            memory,
+            key_padding_mask,
+            vr4,
+        )
 
         # the shared final LayerNorm is applied to every intermediate state
         # for aux supervision (mmdet DinoTransformerDecoder return_intermediate)
         stacked = layer_norm(
-            jnp.stack(inter_states, axis=0), dtype=self.dtype, name="norm"
+            inter_states, dtype=self.dtype, name="norm"
         )  # (n_layers, bs, nq, C)
         output = stacked[-1]
-        return output, reference_points, stacked, jnp.stack(inter_refs, axis=0)
+        return output, reference_points, stacked, inter_refs
 
 
 class CoDinoTransformer(nn.Module):
@@ -262,8 +286,9 @@ class CoDinoTransformer(nn.Module):
         mlvl_feats: Sequence[jax.Array],  # NHWC per level
         mlvl_masks: Sequence[jax.Array],  # (bs, h, w) pad masks
         mlvl_pos_embeds: Sequence[jax.Array],  # (bs, h, w, C)
-        reg_branches: Sequence[Any],
-        cls_branches: Sequence[Any],
+        reg_stack,  # stacked MlpParams tree, leading axis = num_decoder_layers
+        reg_branch_enc,  # callable: encoder-stage reg branch (index num_decoder_layers)
+        cls_branch_enc,  # callable: encoder-stage cls branch (index num_decoder_layers)
     ):
         c = self.cfg
         bs = mlvl_feats[0].shape[0]
@@ -327,8 +352,8 @@ class CoDinoTransformer(nn.Module):
 
         # branch index num_decoder_layers (==6) serves the encoder stage
         # (reference: transformer.py:553-557, co_dino_head.py:103-113)
-        enc_class = cls_branches[c.num_decoder_layers](output_memory)  # (bs, K, num_classes)
-        enc_coord_unact = reg_branches[c.num_decoder_layers](output_memory) + output_proposals
+        enc_class = cls_branch_enc(output_memory)  # (bs, K, num_classes)
+        enc_coord_unact = reg_branch_enc(output_memory) + output_proposals
 
         topk = c.two_stage_num_proposals
         cls_max = jnp.max(enc_class.astype(jnp.float32), axis=-1)  # (bs, K)
@@ -352,7 +377,7 @@ class CoDinoTransformer(nn.Module):
             reference_points=topk_coords_unact,
             spatial_shapes=spatial_shapes,
             valid_ratios=valid_ratios,
-            reg_branches=reg_branches,
+            reg_stack=reg_stack,
         )
         aux = {
             "inter_states": inter_states,  # (n_layers, bs, nq, C) after norm

@@ -227,26 +227,39 @@ def _convert_neck(tree: _ParamTree, sd, cfg: CoDETRConfig):
 
 def _convert_head(tree: _ParamTree, sd, cfg: CoDETRConfig):
     tc = cfg.head.transformer
-    num_pred = tc.num_decoder_layers + 1
-    for i in range(num_pred):
-        # cls branches 0..num_dec-2 feed only training-time aux losses; the
-        # inference graph uses [num_dec-1] (final) and [num_dec] (encoder
-        # stage) — co_dino_head.py:169-170, transformer.py:553-557.  flax only
-        # materializes called modules, so convert just those two.  All reg
-        # branches are used (decoder iterative refinement).
-        if i >= tc.num_decoder_layers - 1:
-            tree.put(f"query_head/cls_branches_{i}/kernel", _t(sd[f"query_head.cls_branches.{i}.weight"]))
-            tree.put(f"query_head/cls_branches_{i}/bias", sd[f"query_head.cls_branches.{i}.bias"])
-        # torch reg branch Sequential: Linear@0, ReLU@1, Linear@2, ReLU@3, Linear@4
-        for li, ti in enumerate(range(0, 2 * cfg.head.num_reg_fcs + 1, 2)):
-            tree.put(
-                f"query_head/reg_branches_{i}/layers_{li}/kernel",
-                _t(sd[f"query_head.reg_branches.{i}.{ti}.weight"]),
-            )
-            tree.put(
-                f"query_head/reg_branches_{i}/layers_{li}/bias",
-                sd[f"query_head.reg_branches.{i}.{ti}.bias"],
-            )
+    nd = tc.num_decoder_layers
+    # branches 0..nd-1 are STACKED banks (the decoder scan consumes one reg
+    # slice per step; the cls bank applies to the stacked states) — reference
+    # clones at co_dino_head.py:103-113.  Branch nd (encoder stage) stays a
+    # separate module.
+    tree.put(
+        "query_head/cls_branches/kernel",
+        np.stack([_t(sd[f"query_head.cls_branches.{i}.weight"]) for i in range(nd)]),
+    )
+    tree.put(
+        "query_head/cls_branches/bias",
+        np.stack([np.asarray(sd[f"query_head.cls_branches.{i}.bias"]) for i in range(nd)]),
+    )
+    tree.put(f"query_head/cls_branches_{nd}/kernel", _t(sd[f"query_head.cls_branches.{nd}.weight"]))
+    tree.put(f"query_head/cls_branches_{nd}/bias", sd[f"query_head.cls_branches.{nd}.bias"])
+    # torch reg branch Sequential: Linear@0, ReLU@1, Linear@2, ReLU@3, Linear@4
+    for li, ti in enumerate(range(0, 2 * cfg.head.num_reg_fcs + 1, 2)):
+        tree.put(
+            f"query_head/reg_branches/layers_{li}/kernel",
+            np.stack([_t(sd[f"query_head.reg_branches.{i}.{ti}.weight"]) for i in range(nd)]),
+        )
+        tree.put(
+            f"query_head/reg_branches/layers_{li}/bias",
+            np.stack([np.asarray(sd[f"query_head.reg_branches.{i}.{ti}.bias"]) for i in range(nd)]),
+        )
+        tree.put(
+            f"query_head/reg_branches_{nd}/layers_{li}/kernel",
+            _t(sd[f"query_head.reg_branches.{nd}.{ti}.weight"]),
+        )
+        tree.put(
+            f"query_head/reg_branches_{nd}/layers_{li}/bias",
+            sd[f"query_head.reg_branches.{nd}.{ti}.bias"],
+        )
 
     t = "query_head.transformer"
     dst = "query_head/transformer"
@@ -256,20 +269,21 @@ def _convert_head(tree: _ParamTree, sd, cfg: CoDETRConfig):
     _convert_ln(tree, sd, f"{t}.enc_output_norm", f"{dst}/enc_output_norm")
     tree.put(f"{dst}/query_embed", sd[f"{t}.query_embed.weight"])
 
-    # encoder layers are scanned (nn.scan): leaves stacked on axis 0
-    def enc_stack(fn):
+    # encoder AND decoder layers are scanned (nn.scan): leaves stacked axis 0
+    def put_stack(dest: str, n_layers: int, src_fmt: str, fn):
         trees = []
-        for l in range(tc.num_encoder_layers):
+        for l in range(n_layers):
             sub = _ParamTree()
-            fn(sub, f"{t}.encoder.layers.{l}")
+            fn(sub, src_fmt.format(l))
             trees.append(sub.tree)
         import jax
 
         stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
         node = tree.tree
-        for p in f"{dst}/encoder_layers".split("/")[:-1]:
+        parts = f"{dst}/{dest}".split("/")
+        for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node["encoder_layers"] = stacked
+        node[parts[-1]] = stacked
 
     def enc_layer(sub, src):
         _convert_msda(sub, sd, f"{src}.attentions.0", "self_attn")
@@ -277,24 +291,24 @@ def _convert_head(tree: _ParamTree, sd, cfg: CoDETRConfig):
         _convert_ln(sub, sd, f"{src}.norms.1", "norm2")
         _convert_ffn(sub, sd, f"{src}.ffns.0", "ffn")
 
-    enc_stack(enc_layer)
+    put_stack("encoder_layers", tc.num_encoder_layers, f"{t}.encoder.layers.{{}}", enc_layer)
 
-    for l in range(tc.num_decoder_layers):
-        src = f"{t}.decoder.layers.{l}"
-        d = f"{dst}/decoder/layers_{l}"
+    def dec_layer(sub, src):
         E = tc.embed_dims
         w_in = np.asarray(sd[f"{src}.attentions.0.attn.in_proj_weight"])
         b_in = np.asarray(sd[f"{src}.attentions.0.attn.in_proj_bias"])
         for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
-            tree.put(f"{d}/self_attn/{name}/kernel", _t(w_in[j * E : (j + 1) * E]))
-            tree.put(f"{d}/self_attn/{name}/bias", b_in[j * E : (j + 1) * E])
-        tree.put(f"{d}/self_attn/out_proj/kernel", _t(sd[f"{src}.attentions.0.attn.out_proj.weight"]))
-        tree.put(f"{d}/self_attn/out_proj/bias", sd[f"{src}.attentions.0.attn.out_proj.bias"])
-        _convert_msda(tree, sd, f"{src}.attentions.1", f"{d}/cross_attn")
-        _convert_ln(tree, sd, f"{src}.norms.0", f"{d}/norm1")
-        _convert_ln(tree, sd, f"{src}.norms.1", f"{d}/norm2")
-        _convert_ln(tree, sd, f"{src}.norms.2", f"{d}/norm3")
-        _convert_ffn(tree, sd, f"{src}.ffns.0", f"{d}/ffn")
+            sub.put(f"self_attn/{name}/kernel", _t(w_in[j * E : (j + 1) * E]))
+            sub.put(f"self_attn/{name}/bias", b_in[j * E : (j + 1) * E])
+        sub.put(f"self_attn/out_proj/kernel", _t(sd[f"{src}.attentions.0.attn.out_proj.weight"]))
+        sub.put(f"self_attn/out_proj/bias", sd[f"{src}.attentions.0.attn.out_proj.bias"])
+        _convert_msda(sub, sd, f"{src}.attentions.1", "cross_attn")
+        _convert_ln(sub, sd, f"{src}.norms.0", "norm1")
+        _convert_ln(sub, sd, f"{src}.norms.1", "norm2")
+        _convert_ln(sub, sd, f"{src}.norms.2", "norm3")
+        _convert_ffn(sub, sd, f"{src}.ffns.0", "ffn")
+
+    put_stack("decoder/layers", tc.num_decoder_layers, f"{t}.decoder.layers.{{}}", dec_layer)
 
     # decoder ref_point_head: Sequential(Linear@0, ReLU@1, Linear@2)
     for li, ti in enumerate((0, 2)):
