@@ -129,9 +129,15 @@ def save_executable(
     - ``params`` None: ``fn(*example_args)`` is exported as-is; any weights
       it closes over are baked into the module like TRT engine weights.
     """
+    param_order = None
     if params is not None:
         exported = jax_export.export(jax.jit(fn))(params, *example_args)
-        np.savez(path + ".params.npz", **_flatten_params(params))
+        flat = _flatten_params(params)
+        # tree_flatten order == the exported module's flattened calling
+        # convention for the params pytree; the C++ runner consumes the npz
+        # members in exactly this order (meta "param_order")
+        param_order = list(flat.keys())
+        np.savez(path + ".params.npz", **flat)
     else:
         exported = jax_export.export(jax.jit(fn))(*example_args)
     blob = exported.serialize()
@@ -149,6 +155,8 @@ def save_executable(
         in_avals=[[list(a.shape), str(a.dtype)] for a in example_args],
         platforms=list(exported.platforms),
     )
+    if param_order is not None:
+        meta["param_order"] = param_order
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f, indent=2)
     return path

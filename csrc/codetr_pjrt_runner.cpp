@@ -27,10 +27,17 @@
 #include <cstdio>
 #include <cstring>
 #include <fstream>
+#include <map>
 #include <string>
 #include <vector>
 
+#include "npz_reader.h"
 #include "pjrt_c_api.h"
+
+#ifdef HAVE_OPENCV
+#include <opencv2/imgcodecs.hpp>
+#include <opencv2/imgproc.hpp>
+#endif
 
 extern "C" int codetr_preprocess(const uint8_t*, int, int, int, int,
                                  const float*, const float*, int, float*,
@@ -43,7 +50,8 @@ namespace {
 struct Args {
   std::string plugin;
   std::string model;
-  std::string image;  // raw HxWx3 uint8 file (optional; zeros otherwise)
+  std::string params;  // companion .params.npz (weights-as-args artifacts)
+  std::string image;   // image file (jpg/png via OpenCV) or raw HxWx3 dump
   int image_h = 0, image_w = 0;
   int height = 608, width = 608;
   int iterations = 20;
@@ -188,6 +196,7 @@ int main(int argc, char** argv) {
     };
     if (k == "--plugin") args.plugin = next();
     else if (k == "--model") args.model = next();
+    else if (k == "--params") args.params = next();
     else if (k == "--image") args.image = next();
     else if (k == "--image-height") args.image_h = std::stoi(next());
     else if (k == "--image-width") args.image_w = std::stoi(next());
@@ -201,9 +210,10 @@ int main(int argc, char** argv) {
     else {
       std::fprintf(stderr,
                    "usage: %s --plugin <pjrt_plugin.so> [--smoke] "
-                   "[--model m.stablehlo --height H --width W [--bf16] "
-                   "[--image raw_rgb.bin --image-height H --image-width W] "
-                   "[--iterations N]]\n",
+                   "[--model m.stablehlo [--params m.params.npz] "
+                   "--height H --width W [--bf16] "
+                   "[--image x.jpg | --image raw_rgb.bin --image-height H "
+                   "--image-width W] [--iterations N]]\n",
                    argv[0]);
       return 2;
     }
@@ -306,27 +316,121 @@ int main(int argc, char** argv) {
               std::chrono::duration<double>(tc1 - tc0).count());
   PJRT_LoadedExecutable* exec = comp.executable;
 
+  // ---- weights (weights-as-args artifacts): the companion .params.npz is
+  // uploaded leaf-by-leaf in the module's flattened calling-convention
+  // order, recorded by save_executable as meta "param_order" (parity with
+  // the reference's full-engine mode, codetr_inference.cpp:322-438, where
+  // the engine file embeds its weights) ----
+  std::vector<PJRT_Buffer*> weight_bufs;
+  if (!args.params.empty()) {
+    auto members = npz::load(args.params);
+    std::map<std::string, const npz::Array*> by_name;
+    for (auto& kv : members) by_name[kv.first] = &kv.second;
+    // param_order from <base>.meta.json (base = model path minus .stablehlo)
+    std::vector<std::string> order;
+    std::string base = args.model;
+    const std::string suf = ".stablehlo";
+    if (base.size() > suf.size() &&
+        base.substr(base.size() - suf.size()) == suf)
+      base = base.substr(0, base.size() - suf.size());
+    std::ifstream mf(base + ".meta.json");
+    if (mf) {
+      std::string meta((std::istreambuf_iterator<char>(mf)),
+                       std::istreambuf_iterator<char>());
+      size_t k = meta.find("\"param_order\"");
+      if (k != std::string::npos) {
+        size_t b0 = meta.find('[', k);
+        size_t b1 = meta.find(']', b0);
+        size_t pos = b0;
+        while (true) {
+          size_t q0 = meta.find('"', pos);
+          if (q0 == std::string::npos || q0 > b1) break;
+          size_t q1 = meta.find('"', q0 + 1);
+          order.push_back(meta.substr(q0 + 1, q1 - q0 - 1));
+          pos = q1 + 1;
+        }
+      }
+    }
+    if (order.empty()) {
+      // fall back to the npz member order (the writer inserts in
+      // calling-convention order)
+      for (auto& kv : members) order.push_back(kv.first);
+      std::printf("params: no param_order in meta; using npz member order\n");
+    }
+    size_t total_bytes = 0;
+    for (const std::string& name : order) {
+      auto it = by_name.find(name);
+      if (it == by_name.end()) {
+        std::fprintf(stderr, "FATAL param %s missing from %s\n", name.c_str(),
+                     args.params.c_str());
+        return 1;
+      }
+      const npz::Array& a = *it->second;
+      PJRT_Buffer_Type t;
+      if (a.dtype == "f4") t = PJRT_Buffer_Type_F32;
+      else if (a.dtype == "f2") t = PJRT_Buffer_Type_F16;
+      else if (a.dtype == "i4") t = PJRT_Buffer_Type_S32;
+      else if (a.dtype == "u1") t = PJRT_Buffer_Type_U8;
+      else {
+        std::fprintf(stderr, "FATAL param %s has unsupported dtype %s\n",
+                     name.c_str(), a.dtype.c_str());
+        return 1;
+      }
+      weight_bufs.push_back(
+          to_device(client, device, a.data.data(), t, a.shape));
+      total_bytes += a.data.size();
+    }
+    std::printf("params: %zu leaves, %.1f MB uploaded\n", weight_bufs.size(),
+                total_bytes / 1048576.0);
+  }
+
   // ---- inputs: preprocess (host lib) or zeros ----
   const int H = args.height, W = args.width;
   std::vector<float> input_f32(static_cast<size_t>(H) * W * 3, 0.0f);
   std::vector<float> mask(static_cast<size_t>(H) * W, 0.0f);
   float scale[2] = {1.0f, 1.0f};
   if (!args.image.empty()) {
-    std::vector<char> raw = read_file(args.image);
-    if (args.image_h <= 0 || args.image_w <= 0 ||
-        raw.size() != static_cast<size_t>(args.image_h) * args.image_w * 3) {
-      std::fprintf(stderr, "FATAL bad --image dims\n");
+    std::vector<uint8_t> rgb;
+    int ih = args.image_h, iw = args.image_w;
+    bool is_raw = ih > 0 && iw > 0;
+    if (is_raw) {
+      std::vector<char> raw = read_file(args.image);
+      if (raw.size() != static_cast<size_t>(ih) * iw * 3) {
+        std::fprintf(stderr, "FATAL bad --image dims\n");
+        return 2;
+      }
+      rgb.assign(raw.begin(), raw.end());
+    } else {
+#ifdef HAVE_OPENCV
+      // image-file input, reference parity (codetr_inference.cpp:571
+      // cv::imread); BGR -> RGB like the reference's cvtColor
+      cv::Mat bgr = cv::imread(args.image, cv::IMREAD_COLOR);
+      if (bgr.empty()) {
+        std::fprintf(stderr, "FATAL cv::imread(%s) failed\n",
+                     args.image.c_str());
+        return 2;
+      }
+      cv::Mat m;
+      cv::cvtColor(bgr, m, cv::COLOR_BGR2RGB);
+      ih = m.rows;
+      iw = m.cols;
+      rgb.resize(static_cast<size_t>(ih) * iw * 3);
+      std::memcpy(rgb.data(), m.data, rgb.size());
+#else
+      std::fprintf(stderr,
+                   "FATAL built without OpenCV: pass a raw dump with "
+                   "--image-height/--image-width\n");
       return 2;
+#endif
     }
     const float kMean[3] = {123.675f, 116.28f, 103.53f};
     const float kStd[3] = {58.395f, 57.12f, 57.375f};
     int resized[2];
-    codetr_preprocess(reinterpret_cast<const uint8_t*>(raw.data()),
-                      args.image_h, args.image_w, H, W, kMean, kStd,
+    codetr_preprocess(rgb.data(), ih, iw, H, W, kMean, kStd,
                       /*keep_ratio=*/1, input_f32.data(), mask.data(), scale,
                       resized);
-    std::printf("preprocess: resized to %dx%d scale %.4f/%.4f\n", resized[0],
-                resized[1], scale[0], scale[1]);
+    std::printf("preprocess: %dx%d -> resized %dx%d scale %.4f/%.4f\n", iw, ih,
+                resized[0], resized[1], scale[0], scale[1]);
   }
 
   std::vector<int64_t> in_dims = {1, H, W, 3};
@@ -346,7 +450,11 @@ int main(int argc, char** argv) {
       to_device(client, device, mask.data(), PJRT_Buffer_Type_F32, mask_dims);
 
   // ---- execute (timed loop, reference codetr_inference.cpp:388-401) ----
-  PJRT_Buffer* argv_bufs[2] = {in0, in1};
+  // calling convention: [params leaves..., batch_inputs, img_masks]
+  std::vector<PJRT_Buffer*> argv_vec = weight_bufs;
+  argv_vec.push_back(in0);
+  argv_vec.push_back(in1);
+  PJRT_Buffer** argv_bufs = argv_vec.data();
   PJRT_Buffer* const* arg_lists[1] = {argv_bufs};
   std::vector<PJRT_Buffer*> out_bufs(8, nullptr);
   PJRT_Buffer** out_lists[1] = {out_bufs.data()};
@@ -362,7 +470,7 @@ int main(int argc, char** argv) {
   ex.options = &opts;
   ex.argument_lists = arg_lists;
   ex.num_devices = 1;
-  ex.num_args = 2;
+  ex.num_args = argv_vec.size();
   ex.output_lists = out_lists;
   PJRT_Event* done = nullptr;
   ex.device_complete_events = &done;

@@ -82,3 +82,35 @@ def test_pjrt_runner_smoke():
     assert out.returncode == 0, out.stderr
     assert "smoke ok" in out.stdout
     assert "pjrt api version" in out.stdout
+
+
+def test_npz_reader_matches_numpy(tmp_path):
+    """csrc/npz_reader.h parses np.savez output byte-for-byte (the runner's
+    --params path consumes exactly this producer, runtime/aot.py:134)."""
+    import subprocess
+
+    exe = os.path.join(CSRC_DIR, "build", "test_npz")
+    if not os.path.exists(exe):
+        pytest.skip("test_npz not built")
+    rng = np.random.default_rng(0)
+    arrs = {
+        "backbone/stage0/kernel": rng.standard_normal((3, 4, 5)).astype(np.float32),
+        "head/bias": rng.standard_normal((7,)).astype(np.float32),
+        "ids": np.arange(6, dtype=np.int32).reshape(2, 3),
+        "scalar": np.float32(3.5).reshape(()),
+    }
+    path = str(tmp_path / "t.npz")
+    np.savez(path, **arrs)
+    out = subprocess.run([exe, path], capture_output=True, text=True, check=True)
+
+    def checksum(a):
+        s = 0
+        for c in a.tobytes():
+            s = (s * 131 + c) % (1 << 64)
+        return s
+
+    for name, a in arrs.items():
+        dt = {"float32": "f4", "int32": "i4"}[str(a.dtype)]
+        shape = ",".join(str(d) for d in a.shape)
+        line = f"{name} {dt} [{shape}] {a.nbytes} {checksum(a)}"
+        assert line in out.stdout, (line, out.stdout)
