@@ -511,6 +511,160 @@ def msda_pair_gather_qm(
     return out.astype(value.dtype).transpose(0, 2, 1, 3).reshape(bs, Q, h * d)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5))
+def msda_pair_gather_qm_ad(value, spatial_shapes, x_in, y_in, w_in, q_chunk=8192):
+    """``msda_pair_gather_qm`` with a FUSED custom backward on the same
+    pair-table geometry (round-2 VERDICT item 7).
+
+    XLA's AD of the 4-corner oracle scatters/gathers 4 rows per tap in the
+    backward; this VJP keeps the pair packing there too: grad-of-value is
+    TWO ``segment_sum`` scatter-adds per tap (one per packed column, folded
+    back with a roll — the adjoint of the forward's ``table2`` construction)
+    and grad-of-coords/weights re-gathers the same 2 rows per tap the forward
+    read.  Backward row traffic is halved vs oracle AD, matching the
+    forward's measured rows-bound advantage.  (Reference analog: the tuned
+    col2im backward kernels, ms_deform_attn.cu:433-897.)
+    """
+    return msda_pair_gather_qm(value, spatial_shapes, x_in, y_in, w_in, q_chunk=q_chunk)
+
+
+def _pair_gather_ad_fwd(value, spatial_shapes, x_in, y_in, w_in, q_chunk=8192):
+    out = msda_pair_gather_qm(value, spatial_shapes, x_in, y_in, w_in, q_chunk=q_chunk)
+    return out, (value, x_in, y_in, w_in)
+
+
+def _pair_gather_ad_bwd(spatial_shapes, q_chunk, res, g):
+    value, x_in, y_in, w_in = res
+    bs, K, h, d = value.shape
+    Q = x_in.shape[-1]
+    L = len(spatial_shapes)
+    P = x_in.shape[3]
+    f32 = jnp.promote_types(jnp.promote_types(value.dtype, x_in.dtype), jnp.float32)
+
+    table = value.transpose(0, 2, 1, 3).reshape(bs * h * K, d)
+    table2 = jnp.concatenate([table, jnp.roll(table, -1, axis=0)], axis=1)
+    N = bs * h * K
+
+    widths = np.asarray([w for _, w in spatial_shapes], np.int32)
+    heights = np.asarray([hh for hh, _ in spatial_shapes], np.int32)
+    lvl_start = np.concatenate([[0], np.cumsum([hh * w for hh, w in spatial_shapes])])[:-1]
+    Wl = jnp.asarray(widths)[None, None, :, None, None]
+    Hl = jnp.asarray(heights)[None, None, :, None, None]
+    start_l = jnp.asarray(lvl_start, jnp.int32)[None, None, :, None, None]
+    sizes_x = jnp.asarray(widths, f32)[None, None, :, None, None]
+    sizes_y = jnp.asarray(heights, f32)[None, None, :, None, None]
+    bh_off = (jnp.arange(bs * h, dtype=jnp.int32) * K).reshape(bs, h)[:, :, None, None, None]
+
+    # g arrives in the op's output layout (bs, Q, h*d) -> (bs, h, Q, d) f32
+    g_qm = g.reshape(bs, Q, h, d).transpose(0, 2, 1, 3).astype(f32)
+
+    qc = min(q_chunk, Q)
+    n_chunks = -(-Q // qc)
+    q_pad = n_chunks * qc
+    loc_x, loc_y, attw_all = (a.astype(f32) for a in (x_in, y_in, w_in))
+    if q_pad != Q:
+        pad5 = [(0, 0)] * 4 + [(0, q_pad - Q)]
+        loc_x, loc_y, attw_all = (jnp.pad(a, pad5) for a in (loc_x, loc_y, attw_all))
+        g_qm = jnp.pad(g_qm, [(0, 0), (0, 0), (0, q_pad - Q), (0, 0)])
+    loc_x, loc_y, attw_all = (
+        jnp.moveaxis(a.reshape(bs, h, L, P, n_chunks, qc), 4, 0)
+        for a in (loc_x, loc_y, attw_all)
+    )
+    g_ch = jnp.moveaxis(g_qm.reshape(bs, h, n_chunks, qc, d), 2, 0)
+
+    def one_chunk(carry, args):
+        seg0, seg1 = carry  # (N, d) f32 accumulators for the two packed cols
+        x_c, y_c, attw, g_c = args  # (bs,h,L,P,qc) x3, (bs,h,qc,d)
+        x = x_c * sizes_x - 0.5
+        y = y_c * sizes_y - 0.5
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        tx = x - x0
+        ty = y - y0
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        cs = jnp.clip(x0i, 0, jnp.maximum(Wl - 2, 0))
+        d0 = x0i - cs  # -1/0/1+ packed-slot shift
+
+        valid_x0 = ((x0i >= 0) & (x0i < Wl)).astype(f32)
+        valid_x1 = ((x0i + 1 >= 0) & (x0i + 1 < Wl)).astype(f32)
+        gb = g_c[:, :, None, None]  # (bs,h,1,1,qc,d)
+
+        d_attw = 0.0
+        d_tx = 0.0
+        d_ty = 0.0
+        for cdy in (0, 1):
+            yi = y0i + cdy
+            vy = ((yi >= 0) & (yi < Hl)).astype(f32)
+            v0 = valid_x0 * vy
+            v1 = valid_x1 * vy
+            starts = bh_off + start_l + jnp.clip(yi, 0, Hl - 1) * Wl + cs
+            rows = _take_rows(table2, starts.reshape(-1)).reshape(*starts.shape, 2 * d)
+            s0, s1 = rows[..., :d].astype(f32), rows[..., d:].astype(f32)
+            sel0 = (d0 == 0)[..., None]
+            sel1 = (d0 == -1)[..., None]
+            c_x0 = jnp.where(sel0, s0, s1)
+            c_x1 = jnp.where(sel1, s0, s1)
+            dot0 = jnp.einsum("bhlpqd,bhlpqd->bhlpq", c_x0, jnp.broadcast_to(gb, c_x0.shape))
+            dot1 = jnp.einsum("bhlpqd,bhlpqd->bhlpq", c_x1, jnp.broadcast_to(gb, c_x1.shape))
+            wy = ty if cdy == 1 else (1.0 - ty)
+            d_attw = d_attw + wy * ((1.0 - tx) * v0 * dot0 + tx * v1 * dot1)
+            d_tx = d_tx + wy * attw * (v1 * dot1 - v0 * dot0)
+            sgn = 1.0 if cdy == 1 else -1.0
+            d_ty = d_ty + sgn * attw * ((1.0 - tx) * v0 * dot0 + tx * v1 * dot1)
+
+            # grad into the two packed columns of table2 (adjoint of the
+            # forward's where-selections), scatter-added per row index
+            w_x0 = ((1.0 - tx) * wy * v0 * attw)[..., None]
+            w_x1 = (tx * wy * v1 * attw)[..., None]
+            gs0 = jnp.where(sel0, w_x0, 0.0) + jnp.where(sel1, w_x1, 0.0)
+            gs1 = jnp.where(sel0, 0.0, w_x0) + jnp.where(sel1, 0.0, w_x1)
+            ids = starts.reshape(-1)
+            gb_full = jnp.broadcast_to(gb, c_x0.shape)
+            seg0 = seg0 + jax.ops.segment_sum(
+                (gs0 * gb_full).reshape(-1, d), ids, num_segments=N
+            )
+            seg1 = seg1 + jax.ops.segment_sum(
+                (gs1 * gb_full).reshape(-1, d), ids, num_segments=N
+            )
+
+        d_x = d_tx * sizes_x
+        d_y = d_ty * sizes_y
+        return (seg0, seg1), (d_x, d_y, d_attw)
+
+    init = (jnp.zeros((N, d), f32), jnp.zeros((N, d), f32))
+    if n_chunks == 1:
+        (seg0, seg1), (d_x, d_y, d_attw) = one_chunk(
+            init, (loc_x[0], loc_y[0], attw_all[0], g_ch[0])
+        )
+        d_x, d_y, d_attw = d_x[None], d_y[None], d_attw[None]
+    else:
+        (seg0, seg1), (d_x, d_y, d_attw) = jax.lax.scan(
+            one_chunk, init, (loc_x, loc_y, attw_all, g_ch)
+        )
+
+    # fold table2 adjoint back to the value table: column 0 hits row k,
+    # column 1 hits row k+1 (the wrap row provably receives only zeros)
+    g_table = seg0 + jnp.roll(seg1, 1, axis=0)
+    g_value = (
+        g_table.reshape(bs, h, K, d).transpose(0, 2, 1, 3).astype(value.dtype)
+    )
+
+    def unchunk(a):
+        out = jnp.moveaxis(a, 0, 4).reshape(bs, h, L, P, q_pad)[..., :Q]
+        return out
+
+    return (
+        g_value,
+        unchunk(d_x).astype(x_in.dtype),
+        unchunk(d_y).astype(y_in.dtype),
+        unchunk(d_attw).astype(w_in.dtype),
+    )
+
+
+msda_pair_gather_qm_ad.defvjp(_pair_gather_ad_fwd, _pair_gather_ad_bwd)
+
+
 @partial(jax.jit, static_argnames=("spatial_shapes",))
 def msda_pair_gather(
     value: jax.Array,
@@ -518,12 +672,13 @@ def msda_pair_gather(
     sampling_locations: jax.Array,
     attention_weights: jax.Array,
 ) -> jax.Array:
-    """Reference-layout wrapper over the q-minor pair-gather core."""
+    """Reference-layout wrapper over the q-minor pair-gather core (with the
+    fused pair-table backward)."""
     _check_shapes(value, spatial_shapes, sampling_locations, attention_weights)
     loc = sampling_locations.transpose(0, 2, 3, 4, 5, 1)  # (bs,h,L,P,2,Q)
     attw = attention_weights.transpose(0, 2, 3, 4, 1)
-    return msda_pair_gather_qm(
-        value, spatial_shapes, loc[..., 0, :], loc[..., 1, :], attw
+    return msda_pair_gather_qm_ad(
+        value, spatial_shapes, loc[..., 0, :], loc[..., 1, :], attw, 8192
     )
 
 
@@ -555,7 +710,9 @@ def msda_grid_qm(
         # (vs 7.9 ms 4-corner oracle, 26 ms round-1 sweep, ~240 ms guarded
         # sweep) — EXACT for all offsets, no envelope machinery.  The
         # shift-window paths stay as explicit opt-ins for kernel research.
-        return msda_pair_gather_qm(value, spatial_shapes, x, y, w)
+        # The _ad wrapper carries the fused pair-table backward (same
+        # forward; halved backward row traffic vs oracle AD when training).
+        return msda_pair_gather_qm_ad(value, spatial_shapes, x, y, w, 8192)
     from codetr_tpu.ops.msda_grid import envelope_mask, msda_grid_shift_qm
     from codetr_tpu.ops.msda_pallas import msda_grid_pallas_qm
 

@@ -217,3 +217,51 @@ def test_pitched_gather_chunked_matches():
     a = msda_pitched_gather_qm(*args, q_chunk=16)
     b = msda_pitched_gather_qm(*args, q_chunk=8192)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("d", [8, 16, 32, 64])
+def test_fused_pair_backward_matches_torch(d):
+    """Fused pair-table custom VJP (msda_pair_gather_qm_ad) vs torch autograd
+    across the channel counts the reference sweeps
+    (tests/test_multi_scale_deformable_attention.py:367-414), with
+    out-of-range locations and query chunking exercised."""
+    from codetr_tpu.ops.msda import msda_pair_gather_qm_ad
+
+    shapes = ((6, 7), (3, 4), (2, 2), (1, 1))
+    L = len(shapes)
+    bs, h, P, Q = 2, 3, 4, 11
+    K = sum(hh * ww for hh, ww in shapes)
+    rng = np.random.default_rng(4)
+    value = rng.standard_normal((bs, K, h, d))
+    loc = rng.uniform(-0.15, 1.15, (bs, Q, h, L, P, 2))
+    w = rng.uniform(0, 1, (bs, Q, h, L, P))
+    g = rng.standard_normal((bs, Q, h * d))
+
+    def loss_jax(v, x, y, a):
+        out = msda_pair_gather_qm_ad(v, shapes, x, y, a, 4)
+        return jnp.vdot(out, jnp.asarray(g))
+
+    x_qm = jnp.asarray(loc[..., 0].transpose(0, 2, 3, 4, 1))
+    y_qm = jnp.asarray(loc[..., 1].transpose(0, 2, 3, 4, 1))
+    w_qm = jnp.asarray(w.transpose(0, 2, 3, 4, 1))
+    gv, gx, gy, ga = jax.grad(loss_jax, argnums=(0, 1, 2, 3))(
+        jnp.asarray(value), x_qm, y_qm, w_qm
+    )
+
+    tv = torch.from_numpy(value).requires_grad_(True)
+    tl = torch.from_numpy(loc).requires_grad_(True)
+    ta = torch.from_numpy(w).requires_grad_(True)
+    out = torch_msda_oracle(tv, shapes, tl, ta)
+    (out * torch.from_numpy(g)).sum().backward()
+
+    np.testing.assert_allclose(np.asarray(gv), tv.grad.numpy(), atol=1e-8, rtol=1e-8)
+    gl_t = tl.grad.numpy()
+    np.testing.assert_allclose(
+        np.asarray(gx), gl_t[..., 0].transpose(0, 2, 3, 4, 1), atol=1e-7, rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(gy), gl_t[..., 1].transpose(0, 2, 3, 4, 1), atol=1e-7, rtol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(ga), ta.grad.numpy().transpose(0, 2, 3, 4, 1), atol=1e-8, rtol=1e-8
+    )
