@@ -1,6 +1,7 @@
 """COCO mAP harness sanity tests (protocol invariants on synthetic data)."""
 
 import numpy as np
+import pytest
 
 from codetr_tpu.utils.coco_eval import average_precision, box_iou, evaluate_detections
 
@@ -146,3 +147,55 @@ def test_hand_computed_ap_two_images():
     expected = (34 * 1.0 + 67 * 0.75) / 101
     assert abs(m["mAP"] - expected) < 1e-9
     assert abs(m["AR_100"] - 1.0) < 1e-9
+
+
+def test_randomized_cross_check_vs_independent_cocoeval():
+    """Randomized protocol fuzz: the production evaluator vs an independent
+    pycocotools-structured transcription (tests/cocoeval_independent.py) on
+    many random scenes with crowds, ties, duplicates, out-of-range areas.
+    A tie-breaking or edge-semantics bug in either implementation diverges
+    here (round-2 VERDICT item 9 substitute: pycocotools is not installable
+    in this image)."""
+    from cocoeval_independent import evaluate as eval_independent
+
+    from codetr_tpu.utils.coco_eval import evaluate_detections
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        num_classes = int(rng.integers(1, 4))
+        n_imgs = int(rng.integers(1, 4))
+        preds, gts = [], []
+        for _ in range(n_imgs):
+            ng = int(rng.integers(0, 7))
+            nd = int(rng.integers(0, 12))
+            # box sizes spanning the small/medium/large area thresholds
+            gwh = rng.uniform(4, 150, (ng, 2))
+            gxy = rng.uniform(0, 400, (ng, 2))
+            gt_boxes = np.concatenate([gxy, gxy + gwh], axis=1)
+            # detections: half perturbed copies of gts (graded IoU), half noise
+            det = []
+            for i in range(nd):
+                if ng and i % 2 == 0:
+                    b = gt_boxes[int(rng.integers(0, ng))] + rng.normal(0, 6, 4)
+                else:
+                    xy = rng.uniform(0, 400, 2)
+                    wh = rng.uniform(4, 150, 2)
+                    b = np.concatenate([xy, xy + wh])
+                det.append(b)
+            det = np.asarray(det).reshape(nd, 4)
+            scores = np.round(rng.uniform(0, 1, nd), 1)  # force score ties
+            preds.append(
+                {"boxes": det, "scores": scores,
+                 "labels": rng.integers(0, num_classes, nd)}
+            )
+            gts.append(
+                {"boxes": gt_boxes,
+                 "labels": rng.integers(0, num_classes, ng),
+                 "iscrowd": rng.uniform(size=ng) < 0.25}
+            )
+        got = evaluate_detections(preds, gts, num_classes)
+        want = eval_independent(preds, gts, num_classes)
+        for key in want:
+            assert got[key] == pytest.approx(want[key], abs=1e-9), (
+                trial, key, got[key], want[key]
+            )
