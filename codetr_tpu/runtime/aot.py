@@ -204,6 +204,60 @@ def _percentile_stats(block_ms: list) -> dict:
     }
 
 
+def make_loop_timer(fn: Callable, args: Sequence[jax.Array]) -> Callable[[int], float]:
+    """Build a ``run(n) -> ms/iter`` closure timing n on-device iterations of
+    ``fn(*args)`` with one host sync (lax.fori_loop; per-dispatch transport
+    overhead excluded).  Handles the three executable forms: weights-bound
+    (params ride as loop ARGUMENTS — closing over them would bake ~871MB of
+    constants into the loop graph and break the remote compile transport),
+    split (chained async dispatches, one sync), and plain."""
+    import time
+
+    out = fn(*args)  # compile / warmup
+    jax.block_until_ready(out)
+
+    bound = getattr(fn, "bound", None)
+    if bound is not None:
+        inner, params = bound
+
+        def loop_b(n, p, *a):
+            def body(i, c):
+                o = inner(p, *a)
+                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        looped_b = jax.jit(loop_b, static_argnums=0)
+        run_loop = lambda n: np.asarray(looped_b(n, params, *args))
+    elif hasattr(fn, "split_parts"):
+        # split executables cannot be wrapped in one on-device loop (that
+        # would re-inline them into the monolithic graph); chain async
+        # dispatches and sync once per block — per-dispatch overhead
+        # pipelines away.
+        def run_loop(n):
+            for _ in range(n):
+                o = fn(*args)
+            np.asarray(jax.tree.leaves(o)[0])
+    else:
+
+        def loop(n, *a):
+            def body(i, c):
+                o = fn(*a)
+                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        looped = jax.jit(loop, static_argnums=0)
+        run_loop = lambda n: np.asarray(looped(n, *args))
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        run_loop(n)
+        return (time.perf_counter() - t0) / n * 1e3
+
+    return run
+
+
 def benchmark(
     fn: Callable,
     args: Sequence[jax.Array],
@@ -226,61 +280,12 @@ def benchmark(
     """
     import time
 
-    # warmup / compile
-    out = fn(*args)
-    jax.block_until_ready(out)
-
+    run = make_loop_timer(fn, args)
     m = max(1, iterations // max(1, blocks))
-
-    def timed_blocks(run_loop) -> dict:
-        run_loop(warmup)  # separate warmup of the loop graph itself
-        per_block = []
-        for _ in range(blocks):
-            t0 = time.perf_counter()
-            run_loop(m)
-            per_block.append((time.perf_counter() - t0) / m * 1e3)
-        stats = _percentile_stats(per_block)
-        stats["iterations"] = m * blocks
-        return stats
-
-    bound = getattr(fn, "bound", None)
-    if bound is not None:
-        # on-device loop with the weight pytree as an ARGUMENT (closing over
-        # it would bake ~871MB of constants into the loop graph and break
-        # the remote compile transport)
-        inner, params = bound
-
-        def loop_b(n, p, *a):
-            def body(i, c):
-                o = inner(p, *a)
-                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        looped_b = jax.jit(loop_b, static_argnums=0)
-        stats = timed_blocks(lambda n: np.asarray(looped_b(n, params, *args)))
-    elif hasattr(fn, "split_parts"):
-        # split executables cannot be wrapped in one on-device loop (that
-        # would re-inline them into the monolithic graph); chain async
-        # dispatches and sync once per block — per-dispatch overhead
-        # pipelines away.
-        def chain(n):
-            for _ in range(n):
-                o = fn(*args)
-            np.asarray(jax.tree.leaves(o)[0])
-
-        stats = timed_blocks(chain)
-    else:
-
-        def loop(n, *a):
-            def body(i, c):
-                o = fn(*a)
-                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
-
-            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-        looped = jax.jit(loop, static_argnums=0)
-        stats = timed_blocks(lambda n: np.asarray(looped(n, *args)))
+    run(warmup)  # separate warmup of the loop graph itself
+    per_block = [run(m) for _ in range(blocks)]
+    stats = _percentile_stats(per_block)
+    stats["iterations"] = m * blocks
 
     t0 = time.perf_counter()
     _ = np.asarray(jax.tree.leaves(fn(*args))[0])

@@ -9,6 +9,7 @@ config and loading the converted tree into the flax model.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 
@@ -226,6 +227,7 @@ def make_tiny_mmdet_state_dict(cfg):
     return sd
 
 
+@pytest.mark.slow
 def test_full_tree_conversion_loads_and_runs():
     cfg = tiny_test_config()
     sd = make_tiny_mmdet_state_dict(cfg)

@@ -16,6 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_golden.npz")
 
@@ -41,6 +42,7 @@ def _tiny_forward():
     return np.asarray(boxes), np.asarray(scores), np.asarray(labels)
 
 
+@pytest.mark.slow
 def test_tiny_model_matches_golden_fixture():
     boxes, scores, labels = _tiny_forward()
     assert np.isfinite(boxes).all() and np.isfinite(scores).all()

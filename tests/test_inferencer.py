@@ -45,6 +45,7 @@ def test_preprocess_matches_reference_semantics():
     assert np.all(out[32:] == 0)
 
 
+@pytest.mark.slow
 def test_inferencer_batched_serving_matches_single(tiny):
     """Batched serving mode (VERDICT r2 item 5): 3 images through bs=2 (one
     padded final batch) must reproduce the per-image bs=1 results, including
@@ -86,6 +87,7 @@ def test_inferencer_end_to_end(tiny):
     assert set(out) == {"labels", "scores", "bboxes"}
 
 
+@pytest.mark.slow
 def test_aot_save_load_roundtrip(tiny):
     cfg, model, params = tiny
     fn, example = compile_forward(model, params, height=64, width=64)
@@ -101,6 +103,7 @@ def test_aot_save_load_roundtrip(tiny):
             np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_aot_save_load_weights_as_args(tiny):
     """Engine format used by export_aot.py: module takes the weight pytree
     as an argument, weights ship in a companion .params.npz (baked-constant
@@ -127,6 +130,7 @@ def test_benchmark_helper(tiny):
     assert stats["device_ms_per_iter"] > 0
 
 
+@pytest.mark.slow
 def test_profiling_utilities(tiny):
     from codetr_tpu.utils.profiling import cost_analysis, latency_report, save_hlo
 
@@ -144,6 +148,7 @@ def test_profiling_utilities(tiny):
         assert os.path.getsize(p) > 1000
 
 
+@pytest.mark.slow
 def test_bf16_model_forward(tiny):
     """bf16 compute policy produces finite, close-to-fp32 outputs."""
     import jax, jax.numpy as jnp, numpy as np

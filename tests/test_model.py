@@ -34,6 +34,7 @@ def test_tiny_swin_backbone_shapes():
     ]
 
 
+@pytest.mark.slow
 def test_tiny_swin_nondivisible_input():
     """Input not divisible by patch/window sizes exercises corner padding."""
     cfg = tiny_test_config()
@@ -45,6 +46,7 @@ def test_tiny_swin_nondivisible_input():
     assert outs[3].shape == (1, 2, 2, 64)
 
 
+@pytest.mark.slow
 def test_resnet50_shapes():
     cfg = co_dino_r50()
     model = ResNet(cfg=cfg.resnet)
@@ -122,6 +124,7 @@ def test_flagship_configs_construct():
     assert r50.neck.in_channels == r50.resnet.num_features
 
 
+@pytest.mark.slow
 def test_swin_with_cp_gradient_checkpointing():
     """with_cp (reference swin.py:381-383): remat produces identical forward
     values and finite gradients."""

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# opt-in research path (ROUND2_NOTES: lost the perf race); all heavy
+pytestmark = pytest.mark.slow
+
 from codetr_tpu.ops.msda import multi_scale_deformable_attention_reference
 from codetr_tpu.ops.msda_pallas import msda_grid_pallas
 from tests.test_msda_grid import grid_inputs

@@ -54,6 +54,7 @@ def test_assert_tp_sharded_rejects_replicated():
         assert_tp_sharded(params, mesh)
 
 
+@pytest.mark.slow
 def test_full_model_tp_coverage():
     """The real (tiny) model tree: the heavy scanned stacks must be sharded."""
     from codetr_tpu.config import tiny_test_config
@@ -70,10 +71,12 @@ def test_full_model_tp_coverage():
     assert enc["ffn"]["fc1"]["kernel"].sharding.spec[-1] == "tp"
 
 
+@pytest.mark.slow
 def test_dryrun_full_train_step_8dev():
     run_dryrun(8)
 
 
+@pytest.mark.slow
 def test_batch_sharded_inference_matches_single():
     """dp x tp sharded inference == unsharded results, on the PRODUCTION
     dispatch (msda_impl='auto', the pair-gather paths) — BASELINE config 5

@@ -107,6 +107,7 @@ def test_tiny_full_model_parity_vs_torch():
     _assert_parity(torch_out, jax_out, feat_tol=1e-4, score_tol=2e-4, box_tol=0.1)
 
 
+@pytest.mark.slow
 def test_tiny_full_model_parity_no_padding():
     cfg = tiny_test_config()
     torch_out, jax_out = _run_pair(cfg, 128, 192, seed=3, pad=False)
