@@ -49,7 +49,12 @@ class MultiScaleDeformableAttention(nn.Module):
     # queries are the level-concatenated pixel grid (encoder self-attention):
     # enables the gather-free shift-window path (ops/msda_grid.py)
     grid_queries: bool = False
-    grid_radius: int = 4
+    # 5, not 4: the reference offset init reaches exactly +-4 px (point
+    # index 3 x unit direction), and radius 5 is the smallest envelope that
+    # keeps ALL init taps in-window (measured: radius 4 leaves 39k/4.9M
+    # taps out at 608x608 -> the exact-but-expensive correction pass would
+    # fire on every call at init weights; radius 5 leaves 0 out)
+    grid_radius: int = 5
 
     @nn.compact
     def __call__(

@@ -682,6 +682,48 @@ def msda_pair_gather(
     )
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
+def _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret):
+    """Envelope-corrected windowed MSDA (exact for arbitrary offsets) with
+    the fused pair-table backward.  ``pallas_call`` has no AD rule; since
+    the corrected composite IS exact MSDA, its VJP equals the pair-gather
+    formulation's VJP — so the backward reuses ``msda_pair_gather_qm_ad``'s
+    fused segment-sum kernel (no col2im analog needed for the window path)."""
+    from codetr_tpu.ops.msda_win import msda_win_qm, win_envelope_mask
+
+    mask = win_envelope_mask(spatial_shapes, x, y, radius=radius)
+    w_in = jnp.where(mask, w, 0)
+    out = msda_win_qm(
+        value, spatial_shapes, x, y, w_in, radius=radius, interpret=interpret
+    )
+
+    def correction(_):
+        w_out = jnp.where(mask, 0, w)
+        return msda_reference_qm(value, spatial_shapes, x, y, w_out)
+
+    any_out = ~jnp.all(mask)
+    return out + jax.lax.cond(
+        any_out, correction, lambda _: jnp.zeros_like(out), operand=None
+    )
+
+
+def _win_exact_ad_fwd(value, spatial_shapes, x, y, w, radius, interpret):
+    out = _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret)
+    return out, (value, x, y, w)
+
+
+def _win_exact_ad_bwd(spatial_shapes, radius, interpret, res, g):
+    value, x, y, w = res
+    _, vjp = jax.vjp(
+        lambda v, xx, yy, ww: msda_pair_gather_qm_ad(v, spatial_shapes, xx, yy, ww),
+        value, x, y, w,
+    )
+    return vjp(g)
+
+
+_win_exact_ad.defvjp(_win_exact_ad_fwd, _win_exact_ad_bwd)
+
+
 def msda_grid_qm(
     value: jax.Array,
     spatial_shapes: Shapes,
@@ -705,23 +747,40 @@ def msda_grid_qm(
     guard (benchmarking only — silent truncation outside the envelope).
     """
     if impl == "auto":
-        # MEASURED (ratio-calibrated on chip, ROUND2_NOTES.md): exact
-        # pair-packed gather runs the full 608x608 encoder call in ~3.9 ms
-        # (vs 7.9 ms 4-corner oracle, 26 ms round-1 sweep, ~240 ms guarded
-        # sweep) — EXACT for all offsets, no envelope machinery.  The
-        # shift-window paths stay as explicit opt-ins for kernel research.
-        # The _ad wrapper carries the fused pair-table backward (same
-        # forward; halved backward row traffic vs oracle AD when training).
-        return msda_pair_gather_qm_ad(value, spatial_shapes, x, y, w, 8192)
+        # RAW-measured round 3 (ROUND3_NOTES.md): the round-2 ratio-derived
+        # "3.9 ms" for pair-gather at encoder scale was a calibration
+        # artifact — XLA gather runs ~75-85M rows/s FLAT, i.e. 130 ms at
+        # 608x608 and 773 ms at 1920x1280 per encoder call.  The windowed
+        # splat-matmul kernel (ops/msda_win.py) measured 11.9 ms / 55.6 ms
+        # raw in canary-sane windows for the same calls (still ~2x-dilated
+        # chip), exact within its envelope with the arbitrary-offset
+        # correction + fused pair-table backward carried by _win_exact_ad.
+        # Non-TPU (CPU tests): interpret-mode Pallas is slow at scale, but
+        # auto-on-grid is only reached through model code, whose CPU tests
+        # use tiny shapes.
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret)
     from codetr_tpu.ops.msda_grid import envelope_mask, msda_grid_shift_qm
     from codetr_tpu.ops.msda_pallas import msda_grid_pallas_qm
+    from codetr_tpu.ops.msda_win import msda_win_qm, win_envelope_mask
 
-    if impl == "grid":
+    if impl == "win":
+        # round-3 production encoder kernel: windowed splat-matmul
+        # (ops/msda_win.py) — replaces the whole-table gathers (75-85M
+        # rows/s flat -> 130 ms/call at 608, ROUND3_NOTES.md) with per-tile
+        # MXU dots against DMA'd window slabs.
+        interpret = jax.devices()[0].platform not in ("tpu", "axon")
+        if envelope == "correct":
+            # custom_vjp composite: exact forward + fused pair-table backward
+            return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret)
+        grid_fn = partial(msda_win_qm, radius=radius, interpret=interpret)
+        mask_fn = partial(win_envelope_mask, radius=radius)
+    elif impl == "grid":
         grid_fn = partial(msda_grid_shift_qm, radius=radius)
-        max_window = None
+        mask_fn = partial(envelope_mask, radius=radius, max_window=None)
     elif impl == "grid_pallas":
         grid_fn = partial(msda_grid_pallas_qm, radius=radius)
-        max_window = 31
+        mask_fn = partial(envelope_mask, radius=radius, max_window=31)
     else:
         raise ValueError(f"unknown grid impl {impl!r}")
 
@@ -729,7 +788,7 @@ def msda_grid_qm(
         return grid_fn(value, spatial_shapes, x, y, w)
     assert envelope == "correct", envelope
 
-    mask = envelope_mask(spatial_shapes, x, y, radius=radius, max_window=max_window)
+    mask = mask_fn(spatial_shapes, x, y)
     w_in = jnp.where(mask, w, 0)
     out = grid_fn(value, spatial_shapes, x, y, w_in)
 

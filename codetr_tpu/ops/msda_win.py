@@ -1,0 +1,370 @@
+"""Windowed splat-matmul MSDA — the round-3 production encoder kernel.
+
+Round-3 RAW measurements (ROUND3_NOTES.md) overturned the gather premise:
+XLA row-gather runs at ~75-85M rows/s at EVERY scale on this chip, so one
+encoder-scale pair-gather call costs 130 ms at 608x608 and 773 ms at
+1920x1280 — unshippable.  (The reference's CUDA kernel
+`ms_deform_attn.cu:211-261` leans on the GPU's L2 to serve exactly this
+scattered-read pattern; a TPU has no such path.)
+
+This kernel exploits the encoder's structure instead: queries ARE the pixel
+grid, so a tile of queries samples each value level inside a bounded window
+around the tile's geometric projection.  Per (batch*head, query-tile):
+
+1. DMA the window slab of each value level HBM -> VMEM (async copies all
+   started up front; window start computed from the tile index,
+   statically-shaped per (lq, lt) pair).
+2. Build the tile's splat matrix S (queries x window-cells) on the VPU
+   while the copies fly: for each of the L*P taps, the separable bilinear
+   hat  max(0, 1-|cell_x - x|) * max(0, w - w*|cell_y - y|)  over the
+   flattened window-cell iota (cell_y = c // WinW, cell_x = c % WinW,
+   both loop-invariant).  This one expression covers all four bilinear
+   corners AND reproduces grid_sample's zeros padding at the clamped
+   window edges; the attention weight w is folded into the y factor.
+   No gather, no scatter, no per-cell scalar work.
+3. One MXU dot per target level: S (NQ x cells) @ slab (cells x d),
+   accumulated in fp32 across levels.
+
+Cost model @608 per encoder layer: ~45 GFLOP of splat dots (~1 ms at the
+measured 45 TFLOP ceiling) + ~10 full-width VPU ops per tap on (NQ, cells)
+tiles (~3-5 ms) + ~1.5x slab DMA traffic — vs 130 ms for the gather path.
+Exactness: identical bilinear/zeros semantics for every tap whose in-level
+bilinear corners fall inside its tile's window (guaranteed for offsets up
+to ``radius-1`` px; ``win_envelope_mask`` gives the exact per-tap domain);
+arbitrary offsets are handled by the caller's envelope weight-split with
+the exact-gather correction (ops/msda.py:msda_grid_qm), unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Shapes = Tuple[Tuple[int, int], ...]
+
+
+def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
+    """Query-tile extent (rows, cols) at query level lq.
+
+    The finest level uses 16x16 (256 queries/tile, full MXU rows); coarser
+    query levels shrink the tile because a tile's window onto the finest
+    TARGET level scales with 2^lq per axis, and the kernel's peak VMEM live
+    set (S + hats + the hoisted per-level cell iotas, each NQ x cells f32)
+    must stay well under the 16 MB scoped-vmem limit.  These shapes keep
+    the worst (lq, lt) pair's cells*NQ product <= ~266K (~1 MB per f32
+    temporary).  (16,16) at lq=0 measured 15.06 ms for the 608 encoder call
+    but overflowed scoped vmem by 1.1 MB at 1920x1280; (8,16) halves the
+    peak (cells 1040 -> 720, NQ 256 -> 128)."""
+    if lq == 0:
+        return (8, 16)
+    if lq == 1:
+        return (8, 8)
+    if lq == 2:
+        return (8, 4)
+    if lq == 3:
+        return (4, 2)
+    return (2, 2)
+
+
+def _rup8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def _win_geometry(
+    lq: int, spatial_shapes: Shapes, radius: int
+) -> Tuple[Tuple[int, int], Tuple[Tuple[int, int], ...]]:
+    """((tile_h, tile_w), per-target-level (WinH, WinW)) for query level lq.
+
+    Mosaic alignment: the value's W axis is the sublane dim, so W-window
+    slices must have 8-aligned start and extent.  WinW is padded to cover
+    the worst-case 7-px loss from flooring the start to a multiple of 8,
+    then rounded up to 8; the level's W itself is zero-padded to a multiple
+    of 8 by the wrapper (padded cells read zeros == grid_sample's zeros
+    padding, so exactness is unaffected).  The H axis is untiled — WinH and
+    wy0 stay free."""
+    Hq, Wq = spatial_shapes[lq]
+    th, tw = _tile_shape_for_level(lq, len(spatial_shapes))
+    win = []
+    for Ht, Wt in spatial_shapes:
+        # a tile spans th query px -> ~th * Ht/Hq target px (ceil for
+        # off-by-rounding pyramid tails)
+        span_y = -(-th * Ht // Hq)
+        span_x = -(-tw * Wt // Wq)
+        win_h = int(min(Ht, span_y + 2 * radius + 2))
+        win_w = int(min(_rup8(Wt), _rup8(span_x + 2 * radius + 2 + 7)))
+        win.append((win_h, win_w))
+    return (th, tw), tuple(win)
+
+
+def _win_start_y(t, tile: int, nq: int, nt: int, radius: int, wsz: int):
+    """Y-window start for tile index t (static or traced): tile origin
+    projected onto the target level, minus the radius, clamped so the
+    static-size window stays inside the level."""
+    return jnp.clip((t * tile * nt) // nq - radius, 0, nt - wsz)
+
+
+def _win_start_x(t, tile: int, nq: int, nt: int, radius: int, wsz: int):
+    """X-window start: as _win_start_y but floored to a multiple of 8 and
+    clamped within the 8-padded level width (Mosaic sublane alignment).
+    ``pl.multiple_of`` carries the divisibility proof through the clip for
+    Mosaic's memref-slice checker."""
+    s = ((t * tile * nt) // nq - radius) // 8 * 8
+    return pl.multiple_of(jnp.clip(s, 0, _rup8(nt) - wsz), 8)
+
+
+def msda_win_lq(
+    value_lvls,  # list of (bs, Ht, rup8(Wt), HD) head-fused value slabs
+    x_lq,  # (bs, h, L, P, Hq, Wq) fp32 sampling x in [0,1] for THIS query level
+    y_lq,  # (bs, h, L, P, Hq, Wq)
+    w_lq,  # (bs, h, L, P, Hq, Wq) attention weights (envelope-masked by caller)
+    *,
+    lq: int,
+    spatial_shapes: Shapes,
+    radius: int,
+    num_heads: int,
+    head_dim: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """One query level's windowed MSDA: returns (bs, Hq*Wq, HD) fp32, where
+    HD = num_heads * head_dim (possibly 128-padded by the caller).
+
+    Heads are fused into the value's lane dimension so ONE window DMA per
+    (tile, target level) serves all heads (Mosaic requires lane-dim DMA
+    slices to cover whole 128-lane tiles, which a 32-wide per-head slice
+    cannot; a 256-wide all-heads slice can).  The per-head 32-lane slab
+    slice for the splat dot is a cheap in-VMEM relayout."""
+    L = len(spatial_shapes)
+    bs = x_lq.shape[0]
+    h = num_heads
+    d = head_dim
+    P = x_lq.shape[3]
+    HLP = h * L * P
+    HD = value_lvls[0].shape[-1]
+    Hq, Wq = spatial_shapes[lq]
+    (th, tw), win = _win_geometry(lq, spatial_shapes, radius)
+    nty, ntx = -(-Hq // th), -(-Wq // tw)
+    NQ = th * tw
+
+    # pad the query grid to tile multiples (coords beyond the grid carry
+    # zero weights -> contribute nothing), then lay the coords out as
+    # (bs, nty, ntx, NQ, HLP) so each block is the full trailing (NQ, HLP)
+    # plane — always a legal Mosaic block shape.
+    pad_y, pad_x = nty * th - Hq, ntx * tw - Wq
+
+    def to_tiles(a):
+        a = a.reshape(bs, HLP, Hq, Wq)
+        if pad_y or pad_x:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, pad_y), (0, pad_x)))
+        a = a.reshape(bs, HLP, nty, th, ntx, tw)
+        return a.transpose(0, 2, 4, 3, 5, 1).reshape(bs, nty, ntx, NQ, HLP)
+
+    xt, yt, wt = to_tiles(x_lq), to_tiles(y_lq), to_tiles(w_lq)
+    vdtype = value_lvls[0].dtype
+
+    def kernel(xr, yr, wr, *refs):
+        # refs: L value HBM refs, out ref, L slab scratch, dma sems
+        v_refs = refs[:L]
+        out_ref = refs[L]
+        slabs = refs[L + 1 : L + 1 + L]
+        sems = refs[-1]
+
+        b = pl.program_id(0)
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
+
+        # start every level's window DMA up front; splat construction
+        # overlaps the remaining copies
+        copies = []
+        starts = []
+        for lt, (Ht, Wt) in enumerate(spatial_shapes):
+            WinH, WinW = win[lt]
+            wy0 = _win_start_y(ty, th, Hq, Ht, radius, WinH)
+            wx0 = _win_start_x(tx, tw, Wq, Wt, radius, WinW)
+            cop = pltpu.make_async_copy(
+                v_refs[lt].at[b, pl.ds(wy0, WinH), pl.ds(wx0, WinW), :],
+                slabs[lt],
+                sems.at[lt],
+            )
+            cop.start()
+            copies.append(cop)
+            starts.append((wy0, wx0))
+
+        xb = xr[0, 0, 0]  # (NQ, HLP) fp32
+        yb = yr[0, 0, 0]
+        wb = wr[0, 0, 0]
+
+        accs = [jnp.zeros((NQ, d), jnp.float32) for _ in range(h)]
+        for lt, (Ht, Wt) in enumerate(spatial_shapes):
+            WinH, WinW = win[lt]
+            cells = WinH * WinW
+            wy0, wx0 = starts[lt]
+            wy0f = wy0.astype(jnp.float32)
+            wx0f = wx0.astype(jnp.float32)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (NQ, cells), 1)
+            cyf = (ci // WinW).astype(jnp.float32)
+            cxf = (ci % WinW).astype(jnp.float32)
+            copies[lt].wait()
+            slab = slabs[lt][:].reshape(cells, HD)
+            for hh in range(h):
+                S = jnp.zeros((NQ, cells), jnp.float32)
+                for p in range(P):
+                    c = (hh * L + lt) * P + p
+                    # window-local pixel coords of this tap (grid_sample
+                    # align_corners=False convention: center at i+0.5)
+                    xp = xb[:, c : c + 1] * Wt - 0.5 - wx0f  # (NQ, 1)
+                    yp = yb[:, c : c + 1] * Ht - 0.5 - wy0f
+                    wp = wb[:, c : c + 1]
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(cxf - xp))
+                    hy = jnp.maximum(0.0, wp - wp * jnp.abs(cyf - yp))
+                    S = S + hx * hy
+                accs[hh] = accs[hh] + jax.lax.dot_general(
+                    S.astype(vdtype),
+                    slab[:, hh * d : (hh + 1) * d],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+        out = jnp.concatenate(accs, axis=1)  # (NQ, h*d)
+        if HD != h * d:  # caller 128-padded the lane dim
+            out = jnp.pad(out, ((0, 0), (0, HD - h * d)))
+        out_ref[0, 0, 0] = out
+
+    grid = (bs, nty, ntx)
+    coord_spec = pl.BlockSpec(
+        (1, 1, 1, NQ, HLP), lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        # values stay in HBM; the kernel manually DMAs window slabs
+        in_specs=[coord_spec] * 3
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * L,
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, NQ, HD), lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bs, nty, ntx, NQ, HD), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((wh, ww, HD), vdtype) for wh, ww in win]
+        + [pltpu.SemaphoreType.DMA((L,))],
+        interpret=interpret,
+    )(xt, yt, wt, *value_lvls)
+
+    # (bs, nty, ntx, NQ, HD) -> (bs, Hq*Wq, HD)
+    out = out.reshape(bs, nty, ntx, th, tw, HD).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(bs, nty * th, ntx * tw, HD)[:, :Hq, :Wq]
+    return out.reshape(bs, Hq * Wq, HD)
+
+
+def win_envelope_mask(
+    spatial_shapes: Shapes,
+    x: jax.Array,  # (bs, h, L, P, K) normalized x
+    y: jax.Array,  # (bs, h, L, P, K)
+    *,
+    radius: int = 4,
+) -> jax.Array:
+    """True where a tap lies inside the windowed kernel's exactness domain.
+
+    A tap is exact iff every bilinear corner with nonzero hat weight that is
+    inside the target level also lies inside its query-tile's window
+    [w0, w0 + Win - 1] on both axes.  Window starts are static per tile
+    index — precomputed per query row/col as numpy tables.  Taps whose
+    in-level hats would fall below/above the window are flagged OUT unless
+    the window is already clamped to the level edge on that side (then the
+    missing cells do not exist and grid_sample zero-padding agrees)."""
+    L = len(spatial_shapes)
+    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
+    parts = []
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        Kq = Hq * Wq
+        q0 = int(lvl_start[lq])
+        xq = jax.lax.slice_in_dim(x, q0, q0 + Kq, axis=4).astype(jnp.float32)
+        yq = jax.lax.slice_in_dim(y, q0, q0 + Kq, axis=4).astype(jnp.float32)
+        (th, tw), win = _win_geometry(lq, spatial_shapes, radius)
+        qrow = np.arange(Hq) // th  # tile index per query row
+        qcol = np.arange(Wq) // tw
+        lvl_masks = []
+        for lt, (Ht, Wt) in enumerate(spatial_shapes):
+            WinH, WinW = win[lt]
+            wy0 = np.clip(qrow * th * Ht // Hq - radius, 0, Ht - WinH)
+            wx0 = np.clip((qcol * tw * Wt // Wq - radius) // 8 * 8, 0, _rup8(Wt) - WinW)
+            # per flattened query (row-major over (Hq, Wq))
+            y0 = jnp.asarray(np.repeat(wy0, Wq), jnp.float32)
+            x0 = jnp.asarray(np.tile(wx0, Hq), jnp.float32)
+            y_edge_lo = jnp.asarray(np.repeat(wy0 == 0, Wq))
+            y_edge_hi = jnp.asarray(np.repeat(wy0 + WinH == Ht, Wq))
+            x_edge_lo = jnp.asarray(np.tile(wx0 == 0, Hq))
+            # cells from Wt to rup8(Wt)-1 exist as zero padding, so a window
+            # reaching the TRUE level edge is exact for any tap beyond it
+            x_edge_hi = jnp.asarray(np.tile(wx0 + WinW >= Wt, Hq))
+            yp = yq[:, :, lt] * Ht - 0.5  # (bs, h, P, Kq)
+            xp = xq[:, :, lt] * Wt - 0.5
+            ok_y = ((yp >= y0) | y_edge_lo) & ((yp <= y0 + (WinH - 1)) | y_edge_hi)
+            ok_x = ((xp >= x0) | x_edge_lo) & ((xp <= x0 + (WinW - 1)) | x_edge_hi)
+            lvl_masks.append(ok_y & ok_x)
+        parts.append(jnp.stack(lvl_masks, axis=2))  # (bs, h, L, P, Kq)
+    return jnp.concatenate(parts, axis=4)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "radius", "interpret"))
+def msda_win_qm(
+    value: jax.Array,  # (bs, K, h, d)
+    spatial_shapes: Shapes,
+    x: jax.Array,  # (bs, h, L, P, K) fp32 normalized x
+    y: jax.Array,  # (bs, h, L, P, K)
+    w: jax.Array,  # (bs, h, L, P, K) attention weights (envelope-masked by caller)
+    radius: int = 4,
+    interpret: bool = False,  # CPU/pallas-interpreter path for tests
+) -> jax.Array:
+    """Grid-query MSDA via the windowed splat-matmul kernel; q-minor
+    coordinate layout, exact (grid_sample bilinear/zeros semantics) for taps
+    inside ``win_envelope_mask``'s domain.  Same signature family as
+    msda_grid_shift_qm / msda_pair_gather_qm."""
+    bs, K, h, d = value.shape
+    L = len(spatial_shapes)
+    P = x.shape[3]
+    assert x.shape == (bs, h, L, P, K), x.shape
+    HD = h * d
+    # Mosaic DMA slices must cover whole 128-lane tiles; pad the head-fused
+    # lane dim when a (test) config is narrower than that
+    HD_pad = HD if interpret else -(-HD // 128) * 128
+
+    # per-level head-fused value slabs (bs, Ht, rup8(Wt), HD_pad): W padded
+    # to the sublane multiple, lanes to the tile multiple (padded cells are
+    # zeros == grid_sample zeros padding, so exactness is unaffected)
+    v_hm = value.reshape(bs, K, HD)
+    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
+    value_lvls = []
+    for i, (Ht, Wt) in enumerate(spatial_shapes):
+        lvl = jax.lax.slice_in_dim(
+            v_hm, int(lvl_start[i]), int(lvl_start[i + 1]), axis=1
+        ).reshape(bs, Ht, Wt, HD)
+        if Wt % 8 or HD_pad != HD:
+            lvl = jnp.pad(
+                lvl, ((0, 0), (0, 0), (0, _rup8(Wt) - Wt), (0, HD_pad - HD))
+            )
+        value_lvls.append(lvl)
+
+    f32 = jnp.float32
+    xq = x.astype(f32)
+    yq = y.astype(f32)
+    wq = w.astype(f32)
+
+    outs = []
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        s, e = int(lvl_start[lq]), int(lvl_start[lq + 1])
+        xl = jax.lax.slice_in_dim(xq, s, e, axis=4).reshape(bs, h, L, P, Hq, Wq)
+        yl = jax.lax.slice_in_dim(yq, s, e, axis=4).reshape(bs, h, L, P, Hq, Wq)
+        wl = jax.lax.slice_in_dim(wq, s, e, axis=4).reshape(bs, h, L, P, Hq, Wq)
+        o = msda_win_lq(
+            value_lvls, xl, yl, wl, lq=lq, spatial_shapes=spatial_shapes,
+            radius=radius, num_heads=h, head_dim=d, interpret=interpret,
+        )  # (bs, Hq*Wq, HD_pad)
+        outs.append(o)
+    out = jnp.concatenate(outs, axis=1)  # (bs, K, HD_pad)
+    if HD_pad != HD:
+        out = out[..., :HD]
+    return out.astype(value.dtype)

@@ -1,0 +1,129 @@
+"""Windowed splat-matmul MSDA (ops/msda_win.py) vs the exact reference.
+
+The kernel runs through the Pallas interpreter on CPU (interpret=True);
+exactness inside win_envelope_mask's domain, and combined exactness with
+the dispatcher's out-of-envelope correction, mirror the shift-window
+suite (test_msda_grid.py).  Reference semantics: grid_sample bilinear,
+zeros padding, align_corners=False (codetr/csrc/ms_deform_attn.cu:211-261
+is the reference's CUDA analog of the sampling being tested here).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from codetr_tpu.ops.msda import msda_grid_qm, msda_reference_qm
+from codetr_tpu.ops.msda_win import msda_win_qm, win_envelope_mask
+from test_msda_grid import grid_inputs
+
+
+def to_qm(loc, w):
+    loc = jnp.asarray(loc).transpose(0, 2, 3, 4, 5, 1)
+    attw = jnp.asarray(w).transpose(0, 2, 3, 4, 1)
+    return loc[..., 0, :], loc[..., 1, :], attw
+
+
+@pytest.mark.parametrize("shapes,radius,jitter", [
+    (((8, 8), (4, 4), (2, 2)), 4, 3.0),
+    (((6, 10), (3, 5)), 4, 3.0),
+    (((19, 13), (10, 7), (5, 4)), 4, 3.0),  # ceil-div pyramid, non-square
+    (((8, 8),), 3, 2.0),
+])
+def test_win_matches_reference_in_envelope(shapes, radius, jitter):
+    rng = np.random.default_rng(0)
+    value, loc, w = grid_inputs(rng, shapes, radius=radius, jitter=jitter)
+    x, y, attw = to_qm(loc, w)
+    v = jnp.asarray(value)
+    mask = win_envelope_mask(shapes, x, y, radius=radius)
+    w_in = jnp.where(mask, attw, 0)
+    ref = msda_reference_qm(v, shapes, x, y, w_in)
+    got = msda_win_qm(v, shapes, x, y, w_in, radius=radius, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shapes,radius,jitter", [
+    # grids large enough that windows are strict level subsets, jitter far
+    # beyond the radius -> the exact-gather correction must fire
+    (((40, 40), (20, 20), (10, 10)), 4, 9.0),
+    (((37, 41), (19, 21)), 3, 12.0),
+])
+@pytest.mark.slow
+def test_win_dispatch_exact_for_arbitrary_offsets(shapes, radius, jitter):
+    rng = np.random.default_rng(7)
+    value, loc, w = grid_inputs(rng, shapes, radius=radius, jitter=jitter)
+    x, y, attw = to_qm(loc, w)
+    v = jnp.asarray(value)
+    mask = win_envelope_mask(shapes, x, y, radius=radius)
+    assert float(jnp.mean(mask)) < 0.999, "test must exercise the correction"
+    ref = msda_reference_qm(v, shapes, x, y, attw)
+    got = msda_grid_qm(v, shapes, x, y, attw, impl="win", radius=radius)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_win_grad_matches_oracle_ad():
+    """impl="win" carries a custom VJP (fused pair-table backward, since
+    pallas_call has no AD rule); its grads must equal the oracle's XLA AD,
+    including when the out-of-envelope correction fires."""
+    import jax
+
+    shapes, radius, jitter = ((40, 40), (20, 20)), 4, 9.0
+    rng = np.random.default_rng(11)
+    value, loc, w = grid_inputs(rng, shapes, radius=radius, jitter=jitter)
+    x, y, attw = to_qm(loc, w)
+    v = jnp.asarray(value)
+
+    def loss(fn):
+        return lambda *a: jnp.sum(jnp.sin(fn(*a)))
+
+    gw = jax.grad(
+        loss(lambda *a: msda_grid_qm(*a, impl="win", radius=radius)),
+        argnums=(0, 2, 3, 4),
+    )(v, shapes, x, y, attw)
+    gr = jax.grad(loss(msda_reference_qm), argnums=(0, 2, 3, 4))(
+        v, shapes, x, y, attw
+    )
+    for name, a, b in zip(("value", "x", "y", "w"), gw, gr):
+        mag = max(float(jnp.abs(b).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4 * mag, err_msg=name
+        )
+
+
+def test_win_zero_padding_at_image_edge():
+    """Taps hanging off the image edge must reproduce grid_sample zeros
+    padding (window clamped to the level -> missing cells contribute 0)."""
+    shapes = ((6, 6), (3, 3))
+    rng = np.random.default_rng(1)
+    value, loc, w = grid_inputs(rng, shapes, radius=3, jitter=2.9)
+    x, y, attw = to_qm(loc, w)
+    v = jnp.asarray(value)
+    mask = win_envelope_mask(shapes, x, y, radius=3)
+    w_in = jnp.where(mask, attw, 0)
+    ref = msda_reference_qm(v, shapes, x, y, w_in)
+    got = msda_win_qm(v, shapes, x, y, w_in, radius=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_win_envelope_mask_is_tight():
+    """Taps just inside the envelope boundary are exact; the mask's
+    complement really marks taps the kernel drops (win output with raw
+    weights deviates from the oracle only where the mask is False)."""
+    shapes = ((48, 48),)
+    radius = 2
+    rng = np.random.default_rng(3)
+    value, loc, w = grid_inputs(rng, shapes, radius=radius, jitter=9.0)
+    x, y, attw = to_qm(loc, w)
+    v = jnp.asarray(value)
+    mask = win_envelope_mask(shapes, x, y, radius=radius)
+    frac = float(jnp.mean(mask))
+    assert 0.1 < frac < 0.999
+    # in-envelope-only weights: exact
+    w_in = jnp.where(mask, attw, 0)
+    ref = msda_reference_qm(v, shapes, x, y, w_in)
+    got = msda_win_qm(v, shapes, x, y, w_in, radius=radius, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+    # NOTE: taps just outside the envelope contribute PARTIAL hat sums (the
+    # in-window corners only) — that is precisely why the dispatcher splits
+    # the weights rather than running the kernel on raw weights
+    # (ops/msda.py:msda_grid_qm).  Combined exactness is covered by
+    # test_win_dispatch_exact_for_arbitrary_offsets.
