@@ -682,13 +682,91 @@ def msda_pair_gather(
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6))
-def _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret):
+def _sparse_correction(value, spatial_shapes, x, y, w_out, budget):
+    """Exact contribution of up to ``budget`` taps with nonzero weight in
+    ``w_out``: compact their flat indices (cumsum-based ``nonzero`` with a
+    static size), gather their 4 bilinear corner rows, and scatter-add into
+    the output.  Cost is O(K) for the compaction plus O(budget) rows of
+    gather/scatter — vs a full masked oracle pass (130/773 ms at the 608 /
+    1920 encoder scales, ROUND3_NOTES.md) for even ONE out-of-envelope tap.
+    Caller guarantees the true nonzero count <= budget."""
+    bs, K, h, d = value.shape
+    L = len(spatial_shapes)
+    P = x.shape[3]
+    f32 = jnp.promote_types(value.dtype, jnp.float32)
+    n = bs * h * L * P * K
+
+    active = (w_out != 0).reshape(n)
+    (idx,) = jnp.nonzero(active, size=budget, fill_value=0)
+    # padded slots duplicate index 0 — gate them off by position
+    n_out = jnp.sum(active)
+    live = jnp.arange(budget) < n_out
+
+    # flat (bs, h, L, P, K) decomposition
+    k_j = (idx % K).astype(jnp.int32)
+    rest = idx // K
+    p_j = (rest % P).astype(jnp.int32)
+    rest = rest // P
+    l_j = (rest % L).astype(jnp.int32)
+    rest = rest // L
+    h_j = (rest % h).astype(jnp.int32)
+    b_j = (rest // h).astype(jnp.int32)
+    del p_j
+
+    widths = jnp.asarray([ww for _, ww in spatial_shapes], jnp.int32)
+    heights = jnp.asarray([hh for hh, _ in spatial_shapes], jnp.int32)
+    starts = jnp.asarray(
+        np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])[:-1],
+        jnp.int32,
+    )
+    Wt = widths[l_j]
+    Ht = heights[l_j]
+    s0 = starts[l_j]
+
+    xv = x.reshape(n)[idx].astype(f32) * Wt.astype(f32) - 0.5
+    yv = y.reshape(n)[idx].astype(f32) * Ht.astype(f32) - 0.5
+    wv = jnp.where(live, w_out.reshape(n)[idx].astype(f32), 0)
+
+    x0 = jnp.floor(xv)
+    y0 = jnp.floor(yv)
+    fx = xv - x0
+    fy = yv - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    table = value.transpose(0, 2, 1, 3).reshape(bs * h * K, d).astype(f32)
+    bh_row = (b_j * h + h_j) * K
+
+    contrib = jnp.zeros((budget, d), f32)
+    for dy, wy in ((0, 1 - fy), (1, fy)):
+        for dx, wx in ((0, 1 - fx), (1, fx)):
+            cy = y0i + dy
+            cx = x0i + dx
+            ok = (cy >= 0) & (cy < Ht) & (cx >= 0) & (cx < Wt)
+            cw = jnp.where(ok, wy * wx * wv, 0)
+            kk = s0 + jnp.clip(cy, 0, Ht - 1) * Wt + jnp.clip(cx, 0, Wt - 1)
+            rows = _take_rows(table, bh_row + kk)  # (budget, d)
+            contrib = contrib + cw[:, None] * rows
+
+    # scatter-add into the (bs*K*h, d) view of the output (h-major lanes)
+    out_rows = (b_j * K + k_j) * h + h_j
+    out = jnp.zeros((bs * K * h, d), f32).at[out_rows].add(contrib)
+    return out.reshape(bs, K, h * d)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 5, 6, 7))
+def _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret,
+                  correction_budget=16384):
     """Envelope-corrected windowed MSDA (exact for arbitrary offsets) with
     the fused pair-table backward.  ``pallas_call`` has no AD rule; since
     the corrected composite IS exact MSDA, its VJP equals the pair-gather
     formulation's VJP — so the backward reuses ``msda_pair_gather_qm_ad``'s
-    fused segment-sum kernel (no col2im analog needed for the window path)."""
+    fused segment-sum kernel (no col2im analog needed for the window path).
+
+    The out-of-envelope correction is tiered by the runtime tap count:
+    0 taps -> skipped entirely; <= correction_budget taps -> sparse
+    compact+gather (O(budget) rows, ~1 ms); more -> full masked oracle
+    (exact for pathological checkpoints, at gather cost)."""
     from codetr_tpu.ops.msda_win import msda_win_qm, win_envelope_mask
 
     mask = win_envelope_mask(spatial_shapes, x, y, radius=radius)
@@ -696,23 +774,36 @@ def _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret):
     out = msda_win_qm(
         value, spatial_shapes, x, y, w_in, radius=radius, interpret=interpret
     )
+    w_out = jnp.where(mask, 0, w)
+    n_out = jnp.sum(w_out != 0)
+
+    def sparse(_):
+        return _sparse_correction(
+            value, spatial_shapes, x, y, w_out, correction_budget
+        ).astype(out.dtype)
+
+    def full(_):
+        return msda_reference_qm(value, spatial_shapes, x, y, w_out).astype(out.dtype)
 
     def correction(_):
-        w_out = jnp.where(mask, 0, w)
-        return msda_reference_qm(value, spatial_shapes, x, y, w_out)
+        return jax.lax.cond(
+            n_out <= correction_budget, sparse, full, operand=None
+        )
 
-    any_out = ~jnp.all(mask)
     return out + jax.lax.cond(
-        any_out, correction, lambda _: jnp.zeros_like(out), operand=None
+        n_out > 0, correction, lambda _: jnp.zeros_like(out), operand=None
     )
 
 
-def _win_exact_ad_fwd(value, spatial_shapes, x, y, w, radius, interpret):
-    out = _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret)
+def _win_exact_ad_fwd(value, spatial_shapes, x, y, w, radius, interpret,
+                      correction_budget=16384):
+    out = _win_exact_ad(
+        value, spatial_shapes, x, y, w, radius, interpret, correction_budget
+    )
     return out, (value, x, y, w)
 
 
-def _win_exact_ad_bwd(spatial_shapes, radius, interpret, res, g):
+def _win_exact_ad_bwd(spatial_shapes, radius, interpret, correction_budget, res, g):
     value, x, y, w = res
     _, vjp = jax.vjp(
         lambda v, xx, yy, ww: msda_pair_gather_qm_ad(v, spatial_shapes, xx, yy, ww),
@@ -759,7 +850,7 @@ def msda_grid_qm(
         # auto-on-grid is only reached through model code, whose CPU tests
         # use tiny shapes.
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
-        return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret)
+        return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret, 16384)
     from codetr_tpu.ops.msda_grid import envelope_mask, msda_grid_shift_qm
     from codetr_tpu.ops.msda_pallas import msda_grid_pallas_qm
     from codetr_tpu.ops.msda_win import msda_win_qm, win_envelope_mask
@@ -772,7 +863,7 @@ def msda_grid_qm(
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
         if envelope == "correct":
             # custom_vjp composite: exact forward + fused pair-table backward
-            return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret)
+            return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret, 16384)
         grid_fn = partial(msda_win_qm, radius=radius, interpret=interpret)
         mask_fn = partial(win_envelope_mask, radius=radius)
     elif impl == "grid":

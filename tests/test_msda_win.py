@@ -60,6 +60,31 @@ def test_win_dispatch_exact_for_arbitrary_offsets(shapes, radius, jitter):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
 
+def test_win_sparse_correction_tiers():
+    """The out-of-envelope correction is tiered: a count-bounded sparse
+    compact+gather when taps fit the budget, the full masked oracle when
+    they don't.  Both must be exact (the sparse tier is what keeps trained
+    checkpoints off the 130/773 ms full-gather path, ROUND3_NOTES.md)."""
+    from codetr_tpu.ops.msda import _win_exact_ad
+    from codetr_tpu.ops.msda_win import win_envelope_mask
+
+    shapes, radius, jitter = ((40, 40), (20, 20), (10, 10)), 4, 9.0
+    rng = np.random.default_rng(7)
+    value, loc, w = grid_inputs(rng, shapes, radius=radius, jitter=jitter)
+    x, y, attw = to_qm(loc, w)
+    v = jnp.asarray(value)
+    mask = win_envelope_mask(shapes, x, y, radius=radius)
+    n_out = int((~np.asarray(mask) & (np.asarray(attw) != 0)).sum())
+    assert n_out > 100  # both tiers must be exercised
+    ref = msda_reference_qm(v, shapes, x, y, attw)
+    for budget in (1 << 16, max(1, n_out // 2)):  # sparse tier / full tier
+        got = _win_exact_ad(v, shapes, x, y, attw, radius, True, budget)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-5, rtol=1e-5,
+            err_msg=f"budget {budget}",
+        )
+
+
 def test_win_grad_matches_oracle_ad():
     """impl="win" carries a custom VJP (fused pair-table backward, since
     pallas_call has no AD rule); its grads must equal the oracle's XLA AD,
