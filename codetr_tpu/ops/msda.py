@@ -769,21 +769,39 @@ def _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret,
     (exact for pathological checkpoints, at gather cost)."""
     from codetr_tpu.ops.msda_win import msda_win_qm, win_envelope_mask
 
-    mask = win_envelope_mask(spatial_shapes, x, y, radius=radius)
-    w_in = jnp.where(mask, w, 0)
-    out = msda_win_qm(
-        value, spatial_shapes, x, y, w_in, radius=radius, interpret=interpret
+    # the kernel masks out-of-envelope taps itself and returns their count —
+    # no K-sized mask/where pass in the common (all-in-envelope) case; the
+    # correction branches below recompute the mask only when they fire
+    # (measured ~25 ms of pure mask/where HBM traffic at 1920x1280 when this
+    # ran unconditionally in the wrapper)
+    out, n_out = msda_win_qm(
+        value, spatial_shapes, x, y, w, radius=radius, interpret=interpret,
+        with_count=True,
     )
-    w_out = jnp.where(mask, 0, w)
-    n_out = jnp.sum(w_out != 0)
+
+    def _branch_inputs():
+        # optimization_barrier: without it, XLA propagates the gather-heavy
+        # correction branches' preferred coordinate layout OUT of the cond
+        # and materializes x/y/w as (bs,h,L,P,K) copies with P on the lane
+        # axis — 51x tile padding, 6.2 GB each at 1920x1280, executed
+        # UNCONDITIONALLY (observed in the HLO allocation dump; cost ~38 ms
+        # per call).  The barrier pins the branch-local views inside the
+        # cond, so they exist only when a correction actually fires.
+        return jax.lax.optimization_barrier((value, x, y, w))
 
     def sparse(_):
+        v2, x2, y2, w2 = _branch_inputs()
+        mask = win_envelope_mask(spatial_shapes, x2, y2, radius=radius)
+        w_out = jnp.where(mask, 0, w2)
         return _sparse_correction(
-            value, spatial_shapes, x, y, w_out, correction_budget
+            v2, spatial_shapes, x2, y2, w_out, correction_budget
         ).astype(out.dtype)
 
     def full(_):
-        return msda_reference_qm(value, spatial_shapes, x, y, w_out).astype(out.dtype)
+        v2, x2, y2, w2 = _branch_inputs()
+        mask = win_envelope_mask(spatial_shapes, x2, y2, radius=radius)
+        w_out = jnp.where(mask, 0, w2)
+        return msda_reference_qm(v2, spatial_shapes, x2, y2, w_out).astype(out.dtype)
 
     def correction(_):
         return jax.lax.cond(

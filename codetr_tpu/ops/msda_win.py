@@ -62,11 +62,22 @@ def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
     but overflowed scoped vmem by 1.1 MB at 1920x1280; (8,16) halves the
     peak (cells 1040 -> 720, NQ 256 -> 128)."""
     if lq == 0:
-        return (8, 16)
+        # NQ = 256 = two full lane tiles: the separable splat build keeps
+        # queries on the LANE axis (full utilization), and the larger tile
+        # amortizes the window halo — slab DMA per query drops from ~5.6
+        # cells (8x16 tiles) to ~4.1 (16x16).  Mosaic's scoped-vmem live
+        # set is ~10x the S3 plane (per-tap broadcast temporaries), which
+        # caps this at lq=0: (16,16) at lq=1 measured 25.9 MB (limit 16).
+        return (16, 16)
     if lq == 1:
-        return (8, 8)
+        return (8, 16)
     if lq == 2:
-        return (8, 4)
+        # (8,16) exceeded the 16 MB scoped-vmem limit by 7.3 MB @1920x1280
+        # (the stride-16 tile's window onto the stride-4 level is 42x88
+        # cells); (8,8) still tipped 244 KB over inside the full-model graph
+        # at 608x608.  (4,8) leaves comfortable headroom; lq>=2 is <2% of
+        # the queries, so the lane under-utilization is irrelevant.
+        return (4, 8)
     if lq == 3:
         return (4, 2)
     return (2, 2)
@@ -122,7 +133,7 @@ def msda_win_lq(
     value_lvls,  # list of (bs, Ht, rup8(Wt), HD) head-fused value slabs
     x_lq,  # (bs, h, L, P, Hq, Wq) fp32 sampling x in [0,1] for THIS query level
     y_lq,  # (bs, h, L, P, Hq, Wq)
-    w_lq,  # (bs, h, L, P, Hq, Wq) attention weights (envelope-masked by caller)
+    w_lq,  # (bs, h, L, P, Hq, Wq) attention weights (raw; masked IN-KERNEL)
     *,
     lq: int,
     spatial_shapes: Shapes,
@@ -130,9 +141,19 @@ def msda_win_lq(
     num_heads: int,
     head_dim: int,
     interpret: bool = False,
-) -> jax.Array:
-    """One query level's windowed MSDA: returns (bs, Hq*Wq, HD) fp32, where
-    HD = num_heads * head_dim (possibly 128-padded by the caller).
+):
+    """One query level's windowed MSDA: returns ``(out, n_out)`` where out is
+    (bs, Hq*Wq, HD) fp32 (HD = num_heads * head_dim, possibly 128-padded by
+    the caller) and n_out is a scalar f32 count of out-of-envelope taps with
+    nonzero weight.
+
+    The envelope test (same semantics as ``win_envelope_mask``) runs INSIDE
+    the kernel on per-tap (1, NQ) rows — a few sublane-row ops per tap —
+    instead of as K-sized mask/where passes in the caller (which cost ~10
+    HBM passes over the (bs,h,L,P,K) coordinate tensors, measured ~25 ms at
+    1920x1280 in the _win_exact_ad wrapper).  Out-of-envelope taps are
+    zeroed (their exact value is restored by the caller's correction, gated
+    on the returned count).
 
     Heads are fused into the value's lane dimension so ONE window DMA per
     (tile, target level) serves all heads (Mosaic requires lane-dim DMA
@@ -153,8 +174,10 @@ def msda_win_lq(
 
     # pad the query grid to tile multiples (coords beyond the grid carry
     # zero weights -> contribute nothing), then lay the coords out as
-    # (bs, nty, ntx, NQ, HLP) so each block is the full trailing (NQ, HLP)
-    # plane — always a legal Mosaic block shape.
+    # (bs, nty, ntx, HLP, NQ) so each block is the full trailing (HLP, NQ)
+    # plane — always a legal Mosaic block shape.  Queries sit on the LANE
+    # axis: the separable splat build slices per-tap (1, NQ) rows (a free
+    # sublane slice) and broadcasts them against sublane-axis cell iotas.
     pad_y, pad_x = nty * th - Hq, ntx * tw - Wq
 
     def to_tiles(a):
@@ -162,16 +185,29 @@ def msda_win_lq(
         if pad_y or pad_x:
             a = jnp.pad(a, ((0, 0), (0, 0), (0, pad_y), (0, pad_x)))
         a = a.reshape(bs, HLP, nty, th, ntx, tw)
-        return a.transpose(0, 2, 4, 3, 5, 1).reshape(bs, nty, ntx, NQ, HLP)
+        return a.transpose(0, 2, 4, 1, 3, 5).reshape(bs, nty, ntx, HLP, NQ)
 
-    xt, yt, wt = to_tiles(x_lq), to_tiles(y_lq), to_tiles(w_lq)
+    # optimization_barrier on the OUTPUT of the tile interleave: XLA layout
+    # assignment otherwise propagates the transpose's operand preference all
+    # the way back to the (bs,h,L,P,K) coordinate tensors and materializes
+    # them with P/L as the tiled minor dims — 51x tile padding, 6.2 GB per
+    # tensor at 1920x1280 (observed in the HLO allocation dump: compile-OOM
+    # on any graph holding two such programs).  A barrier on the SOURCE
+    # tensors does NOT help (barriers are layout-transparent; the consumer's
+    # preference flows through) — it must pin the interleave result, which
+    # forces the whole chain into default layouts and a plain strided-copy
+    # fusion (~3 ms per tensor at the lq=0 1920x1280 slice).
+    xt, yt, wt = jax.lax.optimization_barrier(
+        (to_tiles(x_lq), to_tiles(y_lq), to_tiles(w_lq))
+    )
     vdtype = value_lvls[0].dtype
 
     def kernel(xr, yr, wr, *refs):
-        # refs: L value HBM refs, out ref, L slab scratch, dma sems
+        # refs: L value HBM refs, out ref, count ref, L slab scratch, dma sems
         v_refs = refs[:L]
         out_ref = refs[L]
-        slabs = refs[L + 1 : L + 1 + L]
+        cnt_ref = refs[L + 1]
+        slabs = refs[L + 2 : L + 2 + L]
         sems = refs[-1]
 
         b = pl.program_id(0)
@@ -195,59 +231,107 @@ def msda_win_lq(
             copies.append(cop)
             starts.append((wy0, wx0))
 
-        xb = xr[0, 0, 0]  # (NQ, HLP) fp32
+        xb = xr[0, 0, 0]  # (HLP, NQ) fp32
         yb = yr[0, 0, 0]
         wb = wr[0, 0, 0]
 
         accs = [jnp.zeros((NQ, d), jnp.float32) for _ in range(h)]
+        cnt = jnp.zeros((1, NQ), jnp.float32)
         for lt, (Ht, Wt) in enumerate(spatial_shapes):
             WinH, WinW = win[lt]
             cells = WinH * WinW
             wy0, wx0 = starts[lt]
             wy0f = wy0.astype(jnp.float32)
             wx0f = wx0.astype(jnp.float32)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (NQ, cells), 1)
-            cyf = (ci // WinW).astype(jnp.float32)
-            cxf = (ci % WinW).astype(jnp.float32)
+            # envelope edge flags (win_envelope_mask semantics): a window
+            # clamped to the level edge is exact for taps beyond it (the
+            # missing cells don't exist / are zero padding = grid_sample's
+            # zeros padding); W cells in [Wt, rup8(Wt)) are zero padding so
+            # the x high edge tests against the TRUE level width.
+            y_lo = wy0 == 0
+            y_hi = wy0 + WinH == Ht
+            x_lo = wx0 == 0
+            x_hi = wx0 + WinW >= Wt
+            # SEPARABLE splat build (measured 1.8x over the direct build at
+            # the @1920 lq=0 geometry: 15.5 -> 8.5 ms/call): evaluate the
+            # bilinear hats on the SMALL (WinW, NQ) / (WinH, NQ) planes —
+            # ~9 VPU ops per tap on O(Win) elements — then expand by a 3D
+            # broadcast-multiply into (WinH, WinW, NQ), which is 2 full-
+            # plane ops instead of ~11.  The (cells, NQ) reshape merges the
+            # leading dim into whole sublane tiles (WinW is 8-aligned), so
+            # it is layout-free, and the MXU consumes S transposed via a
+            # dim-0/dim-0 contraction (measured same speed as the (NQ,
+            # cells) @ (cells, d) form).
+            ioH = jax.lax.broadcasted_iota(jnp.int32, (WinH, NQ), 0).astype(
+                jnp.float32
+            )
+            ioW = jax.lax.broadcasted_iota(jnp.int32, (WinW, NQ), 0).astype(
+                jnp.float32
+            )
             copies[lt].wait()
             slab = slabs[lt][:].reshape(cells, HD)
             for hh in range(h):
-                S = jnp.zeros((NQ, cells), jnp.float32)
+                S3 = jnp.zeros((WinH, WinW, NQ), jnp.float32)
                 for p in range(P):
                     c = (hh * L + lt) * P + p
                     # window-local pixel coords of this tap (grid_sample
                     # align_corners=False convention: center at i+0.5)
-                    xp = xb[:, c : c + 1] * Wt - 0.5 - wx0f  # (NQ, 1)
-                    yp = yb[:, c : c + 1] * Ht - 0.5 - wy0f
-                    wp = wb[:, c : c + 1]
-                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(cxf - xp))
-                    hy = jnp.maximum(0.0, wp - wp * jnp.abs(cyf - yp))
-                    S = S + hx * hy
+                    xp = xb[c : c + 1, :] * Wt - 0.5 - wx0f  # (1, NQ)
+                    yp = yb[c : c + 1, :] * Ht - 0.5 - wy0f
+                    wp = wb[c : c + 1, :]
+                    # in-envelope predicate on the (1, NQ) row — replaces
+                    # the caller-side K-sized mask/where passes
+                    ok = (
+                        ((xp >= 0) | x_lo)
+                        & ((xp <= WinW - 1) | x_hi)
+                        & ((yp >= 0) | y_lo)
+                        & ((yp <= WinH - 1) | y_hi)
+                    )
+                    wp = jnp.where(ok, wp, 0.0)
+                    cnt = cnt + jnp.where(
+                        ok, 0.0, (wb[c : c + 1, :] != 0).astype(jnp.float32)
+                    )
+                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xp))  # (WinW, NQ)
+                    hy = jnp.maximum(0.0, wp - wp * jnp.abs(ioH - yp))
+                    S3 = S3 + hy[:, None, :] * hx[None, :, :]
                 accs[hh] = accs[hh] + jax.lax.dot_general(
-                    S.astype(vdtype),
+                    S3.reshape(cells, NQ).astype(vdtype),
                     slab[:, hh * d : (hh + 1) * d],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
         out = jnp.concatenate(accs, axis=1)  # (NQ, h*d)
         if HD != h * d:  # caller 128-padded the lane dim
             out = jnp.pad(out, ((0, 0), (0, HD - h * d)))
         out_ref[0, 0, 0] = out
+        cnt_ref[0, 0, 0] = jnp.concatenate(
+            [cnt, jnp.zeros((7, NQ), jnp.float32)], axis=0
+        )
 
     grid = (bs, nty, ntx)
     coord_spec = pl.BlockSpec(
-        (1, 1, 1, NQ, HLP), lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, 1, HLP, NQ), lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    out, cnt = pl.pallas_call(
         kernel,
         grid=grid,
         # values stay in HBM; the kernel manually DMAs window slabs
         in_specs=[coord_spec] * 3
         + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * L,
-        out_specs=pl.BlockSpec(
-            (1, 1, 1, NQ, HD), lambda b, i, j: (b, i, j, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bs, nty, ntx, NQ, HD), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, NQ, HD), lambda b, i, j: (b, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 8, NQ), lambda b, i, j: (b, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nty, ntx, NQ, HD), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nty, ntx, 8, NQ), jnp.float32),
+        ],
         scratch_shapes=[pltpu.VMEM((wh, ww, HD), vdtype) for wh, ww in win]
         + [pltpu.SemaphoreType.DMA((L,))],
         interpret=interpret,
@@ -256,7 +340,7 @@ def msda_win_lq(
     # (bs, nty, ntx, NQ, HD) -> (bs, Hq*Wq, HD)
     out = out.reshape(bs, nty, ntx, th, tw, HD).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(bs, nty * th, ntx * tw, HD)[:, :Hq, :Wq]
-    return out.reshape(bs, Hq * Wq, HD)
+    return out.reshape(bs, Hq * Wq, HD), jnp.sum(cnt)
 
 
 def win_envelope_mask(
@@ -281,6 +365,15 @@ def win_envelope_mask(
     for lq, (Hq, Wq) in enumerate(spatial_shapes):
         Kq = Hq * Wq
         q0 = int(lvl_start[lq])
+        (th0, tw0) = _tile_shape_for_level(lq, L)
+        if th0 * tw0 < 16:
+            # query level routed through the exact flat-gather oracle by
+            # msda_win_qm (see there): exact for any offset -> in-envelope
+            bsz, hh_, _, P_, _ = x.shape
+            parts.append(
+                jnp.ones((bsz, hh_, L, P_, Kq), bool)
+            )
+            continue
         xq = jax.lax.slice_in_dim(x, q0, q0 + Kq, axis=4).astype(jnp.float32)
         yq = jax.lax.slice_in_dim(y, q0, q0 + Kq, axis=4).astype(jnp.float32)
         (th, tw), win = _win_geometry(lq, spatial_shapes, radius)
@@ -309,19 +402,26 @@ def win_envelope_mask(
     return jnp.concatenate(parts, axis=4)
 
 
-@functools.partial(jax.jit, static_argnames=("spatial_shapes", "radius", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("spatial_shapes", "radius", "interpret", "with_count")
+)
 def msda_win_qm(
     value: jax.Array,  # (bs, K, h, d)
     spatial_shapes: Shapes,
     x: jax.Array,  # (bs, h, L, P, K) fp32 normalized x
     y: jax.Array,  # (bs, h, L, P, K)
-    w: jax.Array,  # (bs, h, L, P, K) attention weights (envelope-masked by caller)
+    w: jax.Array,  # (bs, h, L, P, K) attention weights (raw)
     radius: int = 4,
     interpret: bool = False,  # CPU/pallas-interpreter path for tests
-) -> jax.Array:
+    with_count: bool = False,
+):
     """Grid-query MSDA via the windowed splat-matmul kernel; q-minor
     coordinate layout, exact (grid_sample bilinear/zeros semantics) for taps
-    inside ``win_envelope_mask``'s domain.  Same signature family as
+    inside ``win_envelope_mask``'s domain; out-of-envelope taps are zeroed
+    by the kernel's in-envelope predicate (no caller-side masking needed).
+    With ``with_count=True`` also returns the scalar f32 count of zeroed
+    taps with nonzero weight, so the caller can gate its exactness
+    correction without any K-sized mask pass.  Same signature family as
     msda_grid_shift_qm / msda_pair_gather_qm."""
     bs, K, h, d = value.shape
     L = len(spatial_shapes)
@@ -354,17 +454,44 @@ def msda_win_qm(
     wq = w.astype(f32)
 
     outs = []
+    counts = []
     for lq, (Hq, Wq) in enumerate(spatial_shapes):
         s, e = int(lvl_start[lq]), int(lvl_start[lq + 1])
+        th, tw = _tile_shape_for_level(lq, L)
+        if th * tw < 16:
+            # Coarse query levels (<2% of queries; tiles of 8/4 queries):
+            # the splat kernel's planes pad the NQ lane dim to 128 (up to
+            # 32x), and their windows onto the stride-4 level are ~2.3k
+            # cells — together they tip the 16 MB scoped-vmem limit inside
+            # the full-model graph.  The exact flat-gather oracle costs
+            # ~1-3 ms at these query counts (75M rows/s, ROUND3_NOTES.md)
+            # and is exact for ANY offset, so it contributes 0 to the
+            # out-of-envelope count.
+            from codetr_tpu.ops.msda import msda_reference_qm
+
+            xl = jax.lax.slice_in_dim(xq, s, e, axis=4)
+            yl = jax.lax.slice_in_dim(yq, s, e, axis=4)
+            wl = jax.lax.slice_in_dim(wq, s, e, axis=4)
+            o = msda_reference_qm(value, spatial_shapes, xl, yl, wl).astype(
+                jnp.float32
+            )  # (bs, Hq*Wq, HD)
+            if HD_pad != HD:
+                o = jnp.pad(o, ((0, 0), (0, 0), (0, HD_pad - HD)))
+            outs.append(o)
+            continue
         xl = jax.lax.slice_in_dim(xq, s, e, axis=4).reshape(bs, h, L, P, Hq, Wq)
         yl = jax.lax.slice_in_dim(yq, s, e, axis=4).reshape(bs, h, L, P, Hq, Wq)
         wl = jax.lax.slice_in_dim(wq, s, e, axis=4).reshape(bs, h, L, P, Hq, Wq)
-        o = msda_win_lq(
+        o, n = msda_win_lq(
             value_lvls, xl, yl, wl, lq=lq, spatial_shapes=spatial_shapes,
             radius=radius, num_heads=h, head_dim=d, interpret=interpret,
-        )  # (bs, Hq*Wq, HD_pad)
+        )  # (bs, Hq*Wq, HD_pad), scalar
         outs.append(o)
+        counts.append(n)
     out = jnp.concatenate(outs, axis=1)  # (bs, K, HD_pad)
     if HD_pad != HD:
         out = out[..., :HD]
-    return out.astype(value.dtype)
+    out = out.astype(value.dtype)
+    if with_count:
+        return out, sum(counts)
+    return out

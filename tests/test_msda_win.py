@@ -152,3 +152,45 @@ def test_win_envelope_mask_is_tight():
     # the weights rather than running the kernel on raw weights
     # (ops/msda.py:msda_grid_qm).  Combined exactness is covered by
     # test_win_dispatch_exact_for_arbitrary_offsets.
+
+
+def test_win_kernel_count_matches_envelope_mask():
+    """The kernel's in-kernel out-of-envelope count (with_count=True) must
+    equal the caller-side count derived from win_envelope_mask — it gates
+    the exactness correction in msda.py:_win_exact_ad."""
+    rng = np.random.default_rng(3)
+    shapes = ((13, 9), (7, 5))
+    for jitter in (1.5, 8.0):
+        value, loc, w = grid_inputs(rng, shapes, radius=4, jitter=jitter)
+        x, y, attw = to_qm(loc, w)
+        v = jnp.asarray(value)
+        mask = win_envelope_mask(shapes, x, y, radius=4)
+        want = int(jnp.sum(jnp.where(mask, 0, attw) != 0))
+        out, n = msda_win_qm(
+            v, shapes, x, y, attw, radius=4, interpret=True, with_count=True
+        )
+        assert int(n) == want, (jitter, int(n), want)
+        # and the masked output must equal the reference restricted to
+        # in-envelope taps (the kernel masks internally now)
+        ref = msda_reference_qm(v, shapes, x, y, jnp.where(mask, attw, 0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_win_five_level_oracle_fallback_exact():
+    """At 5 pyramid levels the two coarsest query levels route through the
+    exact flat-gather oracle inside msda_win_qm (their tiles are <16
+    queries; the splat kernel's lane padding + stride-4 windows would blow
+    the scoped-vmem limit — see _tile_shape_for_level).  The composite
+    must stay exact end-to-end through the auto dispatcher, and the
+    envelope mask must report those levels in-envelope."""
+    rng = np.random.default_rng(11)
+    shapes = ((32, 32), (16, 16), (8, 8), (4, 4), (2, 2))
+    value, loc, w = grid_inputs(rng, shapes, radius=4, jitter=2.0)
+    x, y, attw = to_qm(loc, w)
+    v = jnp.asarray(value)
+    mask = win_envelope_mask(shapes, x, y, radius=4)
+    # coarse query levels (q >= 1360 = 32*32+16*16+8*8) are all-True
+    assert bool(jnp.all(mask[..., 1360:]))
+    ref = msda_reference_qm(v, shapes, x, y, attw)
+    got = msda_grid_qm(v, shapes, x, y, attw, impl="auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
