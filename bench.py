@@ -24,8 +24,11 @@ TRT_BASELINE_MS = {(1920, 1280): 79.5, (1152, 768): 30.2, (608, 608): 13.4}
 
 
 def verify_pallas_on_chip(height: int, width: int, dtype):
-    """On-chip numerics gate: the COMPILED Mosaic kernel vs the flat-gather
-    oracle at this resolution's encoder shapes (bilinear anchors + jitter).
+    """On-chip numerics gate: the PRODUCTION MSDA dispatch (impl="auto" =
+    windowed splat-matmul Mosaic kernel + out-of-envelope correction,
+    ops/msda_win.py) vs the flat-gather oracle at this resolution's encoder
+    shapes (bilinear anchors + jitter; the +-3 px jitter exceeds nothing at
+    radius 4, but edge taps still exercise the envelope predicate).
     Tolerance = a few ULP of the value dtype on ~0.2-scale outputs."""
     import jax
     import jax.numpy as jnp
@@ -63,7 +66,7 @@ def verify_pallas_on_chip(height: int, width: int, dtype):
     w /= w.sum(axis=(2, 3), keepdims=True)
     x, y, w = jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
     got = np.asarray(
-        msda_grid_qm(value, shapes, x, y, w, impl="grid_pallas")
+        msda_grid_qm(value, shapes, x, y, w, impl="auto")
     ).astype(np.float32)
     want = np.asarray(msda_reference_qm(value, shapes, x, y, w)).astype(np.float32)
     err = np.abs(got - want).max()

@@ -48,6 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 Shapes = Tuple[Tuple[int, int], ...]
 
+# attribution-only knob (see ROUND3_NOTES.md): "nodot" drops the MXU dots,
+# "nosplat" replaces the per-tap splat build with one shared hat per
+# (head, level), "minimal" does both — the deltas isolate splat-build vs
+# dot vs DMA cost.  Read once at import; never set in production.
+import os as _os
+
+_DEBUG_STAGE = _os.environ.get("MSDA_WIN_DEBUG", "")
+
 
 def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
     """Query-tile extent (rows, cols) at query level lq.
@@ -129,6 +137,136 @@ def _win_start_x(t, tile: int, nq: int, nt: int, radius: int, wsz: int):
     return pl.multiple_of(jnp.clip(s, 0, _rup8(nt) - wsz), 8)
 
 
+def _start_window_copies(v_refs, slabs, sems, b, ty, tx, *, th, tw, Hq, Wq,
+                         spatial_shapes, win, radius):
+    """Kick off every target level's window DMA for tile (ty, tx); splat
+    construction overlaps the remaining copies."""
+    copies = []
+    starts = []
+    for lt, (Ht, Wt) in enumerate(spatial_shapes):
+        WinH, WinW = win[lt]
+        wy0 = _win_start_y(ty, th, Hq, Ht, radius, WinH)
+        wx0 = _win_start_x(tx, tw, Wq, Wt, radius, WinW)
+        cop = pltpu.make_async_copy(
+            v_refs[lt].at[b, pl.ds(wy0, WinH), pl.ds(wx0, WinW), :],
+            slabs[lt],
+            sems.at[lt],
+        )
+        cop.start()
+        copies.append(cop)
+        starts.append((wy0, wx0))
+    return copies, starts
+
+
+def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
+                h, d, P, L, NQ, HD, vdtype, dot_mode):
+    """The shared per-tile splat-matmul body: builds per-head splat matrices
+    from the (HLP, NQ) coordinate planes and dots them against the DMA'd
+    window slabs.  Returns ``(out (NQ, HD) f32, cnt (1, NQ) f32)``.
+
+    dot_mode "dq": out^T = (cells, d) x (cells, NQ) contraction -> (d, NQ).
+    The MXU pads the OUTPUT lane dim to 128, so the "qd" form's (NQ, d=32)
+    result wastes 4x the lanes; putting NQ (>= 128 for the hot levels) on
+    the lanes makes every dot full-width.  The (d, NQ) accumulators are
+    transposed back once per tile at the end."""
+    acc_shape = (d, NQ) if dot_mode == "dq" else (NQ, d)
+    accs = [jnp.zeros(acc_shape, jnp.float32) for _ in range(h)]
+    cnt = jnp.zeros((1, NQ), jnp.float32)
+    for lt, (Ht, Wt) in enumerate(spatial_shapes):
+        WinH, WinW = win[lt]
+        cells = WinH * WinW
+        wy0, wx0 = starts[lt]
+        wy0f = wy0.astype(jnp.float32)
+        wx0f = wx0.astype(jnp.float32)
+        # envelope edge flags (win_envelope_mask semantics): a window
+        # clamped to the level edge is exact for taps beyond it (the
+        # missing cells don't exist / are zero padding = grid_sample's
+        # zeros padding); W cells in [Wt, rup8(Wt)) are zero padding so
+        # the x high edge tests against the TRUE level width.
+        y_lo = wy0 == 0
+        y_hi = wy0 + WinH == Ht
+        x_lo = wx0 == 0
+        x_hi = wx0 + WinW >= Wt
+        # SEPARABLE splat build (measured 1.8x over the direct build at
+        # the @1920 lq=0 geometry: 15.5 -> 8.5 ms/call): evaluate the
+        # bilinear hats on the SMALL (WinW, NQ) / (WinH, NQ) planes —
+        # ~9 VPU ops per tap on O(Win) elements — then expand by a 3D
+        # broadcast-multiply into (WinH, WinW, NQ), which is 2 full-
+        # plane ops instead of ~11.  The (cells, NQ) reshape merges the
+        # leading dim into whole sublane tiles (WinW is 8-aligned), so
+        # it is layout-free.
+        ioH = jax.lax.broadcasted_iota(jnp.int32, (WinH, NQ), 0).astype(jnp.float32)
+        ioW = jax.lax.broadcasted_iota(jnp.int32, (WinW, NQ), 0).astype(jnp.float32)
+        copies[lt].wait()
+        slab = slabs[lt][:].reshape(cells, HD)
+        for hh in range(h):
+            if _DEBUG_STAGE in ("nosplat", "minimal"):
+                c0 = (hh * L + lt) * P
+                S3 = (
+                    jnp.maximum(0.0, 1.0 - jnp.abs(ioH - yb[c0 : c0 + 1, :]))[
+                        :, None, :
+                    ]
+                    * jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xb[c0 : c0 + 1, :]))[
+                        None, :, :
+                    ]
+                )
+                if _DEBUG_STAGE == "minimal":
+                    accs[hh] = accs[hh] + S3.reshape(cells, NQ)[: acc_shape[0], :]
+                else:
+                    accs[hh] = accs[hh] + jax.lax.dot_general(
+                        slab[:, hh * d : (hh + 1) * d],
+                        S3.reshape(cells, NQ).astype(vdtype),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                continue
+            S3 = jnp.zeros((WinH, WinW, NQ), jnp.float32)
+            for p in range(P):
+                c = (hh * L + lt) * P + p
+                # window-local pixel coords of this tap (grid_sample
+                # align_corners=False convention: center at i+0.5)
+                xp = xb[c : c + 1, :] * Wt - 0.5 - wx0f  # (1, NQ)
+                yp = yb[c : c + 1, :] * Ht - 0.5 - wy0f
+                wp = wb[c : c + 1, :]
+                # in-envelope predicate on the (1, NQ) row — replaces
+                # the caller-side K-sized mask/where passes
+                ok = (
+                    ((xp >= 0) | x_lo)
+                    & ((xp <= WinW - 1) | x_hi)
+                    & ((yp >= 0) | y_lo)
+                    & ((yp <= WinH - 1) | y_hi)
+                )
+                wp = jnp.where(ok, wp, 0.0)
+                cnt = cnt + jnp.where(
+                    ok, 0.0, (wb[c : c + 1, :] != 0).astype(jnp.float32)
+                )
+                hx = jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xp))  # (WinW, NQ)
+                hy = jnp.maximum(0.0, wp - wp * jnp.abs(ioH - yp))
+                S3 = S3 + hy[:, None, :] * hx[None, :, :]
+            if _DEBUG_STAGE == "nodot":
+                accs[hh] = accs[hh] + S3.reshape(cells, NQ)[: acc_shape[0], :]
+            elif dot_mode == "dq":
+                accs[hh] = accs[hh] + jax.lax.dot_general(
+                    slab[:, hh * d : (hh + 1) * d],
+                    S3.reshape(cells, NQ).astype(vdtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                accs[hh] = accs[hh] + jax.lax.dot_general(
+                    S3.reshape(cells, NQ).astype(vdtype),
+                    slab[:, hh * d : (hh + 1) * d],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    if dot_mode == "dq":
+        accs = [a.T for a in accs]
+    out = jnp.concatenate(accs, axis=1)  # (NQ, h*d)
+    if HD != h * d:  # caller 128-padded the lane dim
+        out = jnp.pad(out, ((0, 0), (0, HD - h * d)))
+    return out, cnt
+
+
 def msda_win_lq(
     value_lvls,  # list of (bs, Ht, rup8(Wt), HD) head-fused value slabs
     x_lq,  # (bs, h, L, P, Hq, Wq) fp32 sampling x in [0,1] for THIS query level
@@ -141,6 +279,7 @@ def msda_win_lq(
     num_heads: int,
     head_dim: int,
     interpret: bool = False,
+    dot_mode: str = "dq",
 ):
     """One query level's windowed MSDA: returns ``(out, n_out)`` where out is
     (bs, Hq*Wq, HD) fp32 (HD = num_heads * head_dim, possibly 128-padded by
@@ -213,96 +352,19 @@ def msda_win_lq(
         b = pl.program_id(0)
         ty = pl.program_id(1)
         tx = pl.program_id(2)
-
-        # start every level's window DMA up front; splat construction
-        # overlaps the remaining copies
-        copies = []
-        starts = []
-        for lt, (Ht, Wt) in enumerate(spatial_shapes):
-            WinH, WinW = win[lt]
-            wy0 = _win_start_y(ty, th, Hq, Ht, radius, WinH)
-            wx0 = _win_start_x(tx, tw, Wq, Wt, radius, WinW)
-            cop = pltpu.make_async_copy(
-                v_refs[lt].at[b, pl.ds(wy0, WinH), pl.ds(wx0, WinW), :],
-                slabs[lt],
-                sems.at[lt],
-            )
-            cop.start()
-            copies.append(cop)
-            starts.append((wy0, wx0))
+        copies, starts = _start_window_copies(
+            v_refs, slabs, sems, b, ty, tx, th=th, tw=tw, Hq=Hq, Wq=Wq,
+            spatial_shapes=spatial_shapes, win=win, radius=radius,
+        )
 
         xb = xr[0, 0, 0]  # (HLP, NQ) fp32
         yb = yr[0, 0, 0]
         wb = wr[0, 0, 0]
-
-        accs = [jnp.zeros((NQ, d), jnp.float32) for _ in range(h)]
-        cnt = jnp.zeros((1, NQ), jnp.float32)
-        for lt, (Ht, Wt) in enumerate(spatial_shapes):
-            WinH, WinW = win[lt]
-            cells = WinH * WinW
-            wy0, wx0 = starts[lt]
-            wy0f = wy0.astype(jnp.float32)
-            wx0f = wx0.astype(jnp.float32)
-            # envelope edge flags (win_envelope_mask semantics): a window
-            # clamped to the level edge is exact for taps beyond it (the
-            # missing cells don't exist / are zero padding = grid_sample's
-            # zeros padding); W cells in [Wt, rup8(Wt)) are zero padding so
-            # the x high edge tests against the TRUE level width.
-            y_lo = wy0 == 0
-            y_hi = wy0 + WinH == Ht
-            x_lo = wx0 == 0
-            x_hi = wx0 + WinW >= Wt
-            # SEPARABLE splat build (measured 1.8x over the direct build at
-            # the @1920 lq=0 geometry: 15.5 -> 8.5 ms/call): evaluate the
-            # bilinear hats on the SMALL (WinW, NQ) / (WinH, NQ) planes —
-            # ~9 VPU ops per tap on O(Win) elements — then expand by a 3D
-            # broadcast-multiply into (WinH, WinW, NQ), which is 2 full-
-            # plane ops instead of ~11.  The (cells, NQ) reshape merges the
-            # leading dim into whole sublane tiles (WinW is 8-aligned), so
-            # it is layout-free, and the MXU consumes S transposed via a
-            # dim-0/dim-0 contraction (measured same speed as the (NQ,
-            # cells) @ (cells, d) form).
-            ioH = jax.lax.broadcasted_iota(jnp.int32, (WinH, NQ), 0).astype(
-                jnp.float32
-            )
-            ioW = jax.lax.broadcasted_iota(jnp.int32, (WinW, NQ), 0).astype(
-                jnp.float32
-            )
-            copies[lt].wait()
-            slab = slabs[lt][:].reshape(cells, HD)
-            for hh in range(h):
-                S3 = jnp.zeros((WinH, WinW, NQ), jnp.float32)
-                for p in range(P):
-                    c = (hh * L + lt) * P + p
-                    # window-local pixel coords of this tap (grid_sample
-                    # align_corners=False convention: center at i+0.5)
-                    xp = xb[c : c + 1, :] * Wt - 0.5 - wx0f  # (1, NQ)
-                    yp = yb[c : c + 1, :] * Ht - 0.5 - wy0f
-                    wp = wb[c : c + 1, :]
-                    # in-envelope predicate on the (1, NQ) row — replaces
-                    # the caller-side K-sized mask/where passes
-                    ok = (
-                        ((xp >= 0) | x_lo)
-                        & ((xp <= WinW - 1) | x_hi)
-                        & ((yp >= 0) | y_lo)
-                        & ((yp <= WinH - 1) | y_hi)
-                    )
-                    wp = jnp.where(ok, wp, 0.0)
-                    cnt = cnt + jnp.where(
-                        ok, 0.0, (wb[c : c + 1, :] != 0).astype(jnp.float32)
-                    )
-                    hx = jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xp))  # (WinW, NQ)
-                    hy = jnp.maximum(0.0, wp - wp * jnp.abs(ioH - yp))
-                    S3 = S3 + hy[:, None, :] * hx[None, :, :]
-                accs[hh] = accs[hh] + jax.lax.dot_general(
-                    S3.reshape(cells, NQ).astype(vdtype),
-                    slab[:, hh * d : (hh + 1) * d],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-        out = jnp.concatenate(accs, axis=1)  # (NQ, h*d)
-        if HD != h * d:  # caller 128-padded the lane dim
-            out = jnp.pad(out, ((0, 0), (0, HD - h * d)))
+        out, cnt = _splat_tile(
+            xb, yb, wb, slabs, copies, starts, spatial_shapes=spatial_shapes,
+            win=win, h=h, d=d, P=P, L=L, NQ=NQ, HD=HD, vdtype=vdtype,
+            dot_mode=dot_mode,
+        )
         out_ref[0, 0, 0] = out
         cnt_ref[0, 0, 0] = jnp.concatenate(
             [cnt, jnp.zeros((7, NQ), jnp.float32)], axis=0
@@ -403,7 +465,8 @@ def win_envelope_mask(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("spatial_shapes", "radius", "interpret", "with_count")
+    jax.jit,
+    static_argnames=("spatial_shapes", "radius", "interpret", "with_count", "dot_mode"),
 )
 def msda_win_qm(
     value: jax.Array,  # (bs, K, h, d)
@@ -414,6 +477,7 @@ def msda_win_qm(
     radius: int = 4,
     interpret: bool = False,  # CPU/pallas-interpreter path for tests
     with_count: bool = False,
+    dot_mode: str = "dq",
 ):
     """Grid-query MSDA via the windowed splat-matmul kernel; q-minor
     coordinate layout, exact (grid_sample bilinear/zeros semantics) for taps
@@ -485,6 +549,7 @@ def msda_win_qm(
         o, n = msda_win_lq(
             value_lvls, xl, yl, wl, lq=lq, spatial_shapes=spatial_shapes,
             radius=radius, num_heads=h, head_dim=d, interpret=interpret,
+            dot_mode=dot_mode,
         )  # (bs, Hq*Wq, HD_pad), scalar
         outs.append(o)
         counts.append(n)
