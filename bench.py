@@ -73,9 +73,21 @@ def verify_pallas_on_chip(height: int, width: int, dtype):
     scale = np.abs(want).astype(np.float64).mean()
     tol = 0.01 if dtype == jnp.bfloat16 else 1e-4
     assert err <= tol, f"on-chip pallas/oracle mismatch: max err {err} (tol {tol})"
+    # the PACKED q-major entry — the path the production model actually
+    # takes (models/msda_module.py builds the packed tensor natively)
+    from codetr_tpu.ops.msda import msda_grid_packed
+    from codetr_tpu.ops.msda_win import pack_coords_qmajor
+
+    cpk = pack_coords_qmajor(x, y, w)
+    gotp = np.asarray(
+        msda_grid_packed(value, shapes, cpk, P, impl="auto")
+    ).astype(np.float32)
+    errp = np.abs(gotp - want).max()
+    assert errp <= tol, f"on-chip packed/oracle mismatch: max err {errp} (tol {tol})"
     print(
         json.dumps(
             {"verify": "pallas-vs-oracle-on-chip", "max_abs_err": float(err),
+             "max_abs_err_packed": float(errp),
              "mean_abs_out": float(scale), "ok": True}
         ),
         file=sys.stderr,

@@ -24,6 +24,7 @@ import numpy as np
 
 from codetr_tpu.config import MSDAConfig
 from codetr_tpu.ops.msda import (
+    msda_grid_packed,
     msda_grid_qm,
     msda_reference_qm,
     multi_scale_deformable_attention,
@@ -105,15 +106,56 @@ class MultiScaleDeformableAttention(nn.Module):
             name="attention_weights",
         )(query)  # (bs, nq, h*L*P)
 
+        if self.grid_queries and self.impl in ("auto", "win", "reference"):
+            # Q-MAJOR PACKED coordinate pipeline (encoder self-attention,
+            # round-3 production path): offsets/weights stay in the
+            # projections' natural (bs, K, features) layout, the ref-point
+            # math runs elementwise on the minor axis, and x/y/w are packed
+            # on the channel axis into ONE (bs, K, C) tensor that the
+            # windowed kernel consumes directly (per-tile raster BlockSpec +
+            # in-VMEM transpose, ops/msda_win.py:msda_win_lq_packed).  The
+            # former q-minor pipeline's (bs,K,F)->(bs,F,K) transposes plus
+            # the kernel wrapper's tile interleave cost ~11 ms per encoder
+            # call at 1920x1280 (ROUND3_NOTES.md) — all gone here.
+            # Coordinates are fp32: bf16 [0,1] locations quantize to ~0.6 px
+            # at stride-4 resolution.
+            h_, L_, P_ = c.num_heads, c.num_levels, c.num_points
+            K = num_query
+            f32 = jnp.float32
+            HLP = h_ * L_ * P_
+            off = raw_offsets.astype(f32).reshape(bs, K, h_, L_, P_, 2)
+            attn = jax.nn.softmax(
+                raw_attn.astype(f32).reshape(bs, K, h_, L_ * P_), axis=-1
+            ).reshape(bs, K, h_, L_, P_)
+
+            # reference points in q-major layout (bs, K, L, 2)
+            assert reference_points.shape == (bs, K, L_, 2), reference_points.shape
+            norm_x = jnp.asarray([ww for _, ww in spatial_shapes], f32)
+            norm_y = jnp.asarray([hh for hh, _ in spatial_shapes], f32)
+            ref = reference_points.astype(f32)
+            x = ref[:, :, None, :, None, 0] + off[..., 0] / norm_x[:, None]
+            y = ref[:, :, None, :, None, 1] + off[..., 1] / norm_y[:, None]
+            cpk = jnp.concatenate(
+                [x.reshape(bs, K, HLP), y.reshape(bs, K, HLP),
+                 attn.reshape(bs, K, HLP)],
+                axis=-1,
+            )
+            C = -(-3 * HLP // 128) * 128  # Mosaic lane-tile multiple
+            if C != 3 * HLP:
+                cpk = jnp.pad(cpk, ((0, 0), (0, 0), (0, C - 3 * HLP)))
+            out = msda_grid_packed(
+                v, spatial_shapes, cpk, P_, impl=self.impl,
+                radius=self.grid_radius,
+            )
+            out = out.astype(self.dtype)
+            out = dense(c.embed_dims, "output_proj")(out)
+            return out + identity
+
         if self.grid_queries:
-            # Q-MINOR coordinate pipeline (encoder self-attention): the query
-            # axis stays MINOR through every coordinate tensor.  The standard
-            # (bs,Q,h,L,P,2) layout tile-pads its tiny trailing dims (P,2) ->
-            # (8,128) with up to 128x memory waste — measured ~140 ms/forward
-            # of pure layout traffic at 608x608 in round 1.  One clean
-            # (bs,K,F)->(bs,F,K) transpose here instead, then reshapes only
-            # split the MAJOR axis (free).  Coordinates are fp32: bf16 [0,1]
-            # locations quantize to ~0.6 px at stride-4 resolution.
+            # legacy q-minor pipeline (impl="grid" / "grid_pallas" research
+            # paths): the query axis stays MINOR through every coordinate
+            # tensor; one clean (bs,K,F)->(bs,F,K) transpose, then reshapes
+            # only split the MAJOR axis (free).
             h_, L_, P_ = c.num_heads, c.num_levels, c.num_points
             K = num_query
             f32 = jnp.float32
@@ -123,27 +165,19 @@ class MultiScaleDeformableAttention(nn.Module):
             attn_qm = raw_attn.astype(f32).transpose(0, 2, 1).reshape(bs, h_, L_ * P_, K)
             attn_qm = jax.nn.softmax(attn_qm, axis=2).reshape(bs, h_, L_, P_, K)
 
-            # reference points in q-minor layout (bs, L, 2, K)
-            assert reference_points.shape == (bs, L_, 2, K), reference_points.shape
+            # reference points arrive q-major (bs, K, L, 2); q-minor view
+            assert reference_points.shape == (bs, K, L_, 2), reference_points.shape
+            ref_qm = reference_points.astype(f32).transpose(0, 2, 3, 1)  # (bs,L,2,K)
             norm_x = jnp.asarray([ww for _, ww in spatial_shapes], f32)
             norm_y = jnp.asarray([hh for hh, _ in spatial_shapes], f32)
             bcast = (None, None, slice(None), None, None)
-            x = (
-                reference_points[:, None, :, 0, None, :]
-                + off_qm[..., 0, :] / norm_x[bcast]
-            )
-            y = (
-                reference_points[:, None, :, 1, None, :]
-                + off_qm[..., 1, :] / norm_y[bcast]
-            )
+            x = ref_qm[:, None, :, 0, None, :] + off_qm[..., 0, :] / norm_x[bcast]
+            y = ref_qm[:, None, :, 1, None, :] + off_qm[..., 1, :] / norm_y[bcast]
 
-            if self.impl == "reference":
-                out = msda_reference_qm(v, spatial_shapes, x, y, attn_qm)
-            else:
-                out = msda_grid_qm(
-                    v, spatial_shapes, x, y, attn_qm,
-                    impl=self.impl, radius=self.grid_radius,
-                )
+            out = msda_grid_qm(
+                v, spatial_shapes, x, y, attn_qm,
+                impl=self.impl, radius=self.grid_radius,
+            )
             out = out.astype(self.dtype)
             out = dense(c.embed_dims, "output_proj")(out)
             return out + identity

@@ -313,8 +313,12 @@ class CoDinoTransformer(nn.Module):
         valid_ratios = jnp.stack([get_valid_ratio(m) for m in mlvl_masks], axis=1)  # (bs, L, 2)
         ref_qm = get_reference_points_qm(spatial_shapes, valid_ratios)  # (bs, 2, K)
         reference_points = ref_qm.transpose(0, 2, 1)  # (bs, K, 2) for proposals
-        # q-minor per-level encoder reference points (bs, L, 2, K), fp32
-        ref_by_level_qm = ref_qm[:, None] * valid_ratios[:, :, :, None]
+        # q-major per-level encoder reference points (bs, K, L, 2), fp32 —
+        # the packed-coordinate MSDA pipeline (models/msda_module.py) keeps
+        # every coordinate tensor in the projections' natural q-major layout
+        ref_by_level = (
+            reference_points[:, :, None, :] * valid_ratios[:, None, :, :]
+        )
 
         # encoder: nn.scan over 6 identical layers (stacked params; the
         # Pallas-heavy body compiles once, not six times)
@@ -335,7 +339,7 @@ class CoDinoTransformer(nn.Module):
             feat_flat,
             pos_flat,
             mask_flat,
-            ref_by_level_qm,  # fp32 q-minor: coordinate precision + layout
+            ref_by_level,  # fp32 q-major (bs, K, L, 2)
         )
 
         # --- two-stage proposal generation (transformer.py:549-562) ---

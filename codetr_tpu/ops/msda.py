@@ -833,6 +833,120 @@ def _win_exact_ad_bwd(spatial_shapes, radius, interpret, correction_budget, res,
 _win_exact_ad.defvjp(_win_exact_ad_fwd, _win_exact_ad_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6))
+def _win_exact_ad_packed(value, spatial_shapes, cpk, num_points, radius,
+                         interpret, correction_budget=16384):
+    """Packed-coordinate twin of ``_win_exact_ad``: the hot path takes the
+    q-major packed coordinate tensor straight from the projections (zero
+    relayout, see ops/msda_win.py:msda_win_lq_packed); the correction
+    branches and the fused pair-table backward unpack to q-minor lazily —
+    those run off the hot path (correction: only when an out-of-envelope
+    tap exists; backward: training only)."""
+    from codetr_tpu.ops.msda_win import (
+        msda_win_qm_packed,
+        unpack_coords_qmajor,
+        win_envelope_mask,
+    )
+
+    L = len(spatial_shapes)
+    h = value.shape[2]
+    out, n_out = msda_win_qm_packed(
+        value, spatial_shapes, cpk, num_points, radius=radius,
+        interpret=interpret, with_count=True,
+    )
+
+    def _branch_inputs():
+        # barrier rationale: _win_exact_ad._branch_inputs
+        return jax.lax.optimization_barrier((value, cpk))
+
+    def _unpacked():
+        v2, c2 = _branch_inputs()
+        x2, y2, w2 = unpack_coords_qmajor(c2, h, L, num_points)
+        mask = win_envelope_mask(spatial_shapes, x2, y2, radius=radius)
+        return v2, x2, y2, jnp.where(mask, 0, w2)
+
+    def sparse(_):
+        v2, x2, y2, w_out = _unpacked()
+        return _sparse_correction(
+            v2, spatial_shapes, x2, y2, w_out, correction_budget
+        ).astype(out.dtype)
+
+    def full(_):
+        v2, x2, y2, w_out = _unpacked()
+        return msda_reference_qm(v2, spatial_shapes, x2, y2, w_out).astype(out.dtype)
+
+    def correction(_):
+        return jax.lax.cond(
+            n_out <= correction_budget, sparse, full, operand=None
+        )
+
+    return out + jax.lax.cond(
+        n_out > 0, correction, lambda _: jnp.zeros_like(out), operand=None
+    )
+
+
+def _win_exact_ad_packed_fwd(value, spatial_shapes, cpk, num_points, radius,
+                             interpret, correction_budget=16384):
+    out = _win_exact_ad_packed(
+        value, spatial_shapes, cpk, num_points, radius, interpret,
+        correction_budget,
+    )
+    return out, (value, cpk)
+
+
+def _win_exact_ad_packed_bwd(spatial_shapes, num_points, radius, interpret,
+                             correction_budget, res, g):
+    from codetr_tpu.ops.msda_win import unpack_coords_qmajor
+
+    value, cpk = res
+    h = value.shape[2]
+    L = len(spatial_shapes)
+    HLP = h * L * num_points
+    x, y, w = unpack_coords_qmajor(cpk, h, L, num_points)
+    _, vjp = jax.vjp(
+        lambda v, xx, yy, ww: msda_pair_gather_qm_ad(v, spatial_shapes, xx, yy, ww),
+        value, x, y, w,
+    )
+    g_value, g_x, g_y, g_w = vjp(g)
+    bs, K, C = cpk.shape
+    g_cpk = jnp.concatenate(
+        [a.astype(jnp.float32).reshape(bs, HLP, K) for a in (g_x, g_y, g_w)],
+        axis=1,
+    ).transpose(0, 2, 1)
+    if C != 3 * HLP:
+        g_cpk = jnp.pad(g_cpk, ((0, 0), (0, 0), (0, C - 3 * HLP)))
+    return g_value, g_cpk.astype(cpk.dtype)
+
+
+_win_exact_ad_packed.defvjp(_win_exact_ad_packed_fwd, _win_exact_ad_packed_bwd)
+
+
+def msda_grid_packed(
+    value: jax.Array,  # (bs, K, h, d)
+    spatial_shapes: Shapes,
+    cpk: jax.Array,  # (bs, K, C) packed q-major [x(HLP) | y(HLP) | w(HLP) | pad]
+    num_points: int,
+    *,
+    impl: str = "auto",
+    radius: int = 4,
+) -> jax.Array:
+    """Grid-query MSDA on PACKED q-major coordinates — the production
+    encoder entry (exact for arbitrary offsets via the envelope-split
+    correction, fused pair-table backward).  ``impl="reference"`` unpacks
+    and runs the flat-gather oracle (tests / CPU)."""
+    if impl == "reference":
+        from codetr_tpu.ops.msda_win import unpack_coords_qmajor
+
+        h = value.shape[2]
+        x, y, w = unpack_coords_qmajor(cpk, h, len(spatial_shapes), num_points)
+        return msda_reference_qm(value, spatial_shapes, x, y, w)
+    assert impl in ("auto", "win"), impl
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+    return _win_exact_ad_packed(
+        value, spatial_shapes, cpk, num_points, radius, interpret, 16384
+    )
+
+
 def msda_grid_qm(
     value: jax.Array,
     spatial_shapes: Shapes,

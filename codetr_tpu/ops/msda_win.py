@@ -405,6 +405,235 @@ def msda_win_lq(
     return out.reshape(bs, Hq * Wq, HD), jnp.sum(cnt)
 
 
+def msda_win_lq_packed(
+    value_lvls,  # list of (bs, Ht, rup8(Wt), HD) head-fused value slabs
+    cpk_lq,  # (bs, Hq, Wq, C) fp32 packed [x(HLP) | y(HLP) | w(HLP) | 0-pad]
+    *,
+    lq: int,
+    spatial_shapes: Shapes,
+    radius: int,
+    num_heads: int,
+    head_dim: int,
+    num_points: int,
+    interpret: bool = False,
+    dot_mode: str = "dq",
+):
+    """Packed-coordinate twin of ``msda_win_lq`` — the round-3 production
+    encoder entry.  The caller keeps coordinates Q-MAJOR, packed on the
+    channel axis exactly as the projections produce them; each tile's
+    (th, tw, C) raster block is loaded via BlockSpec (sublane tw is a
+    multiple of 8, lane C a multiple of 128 — both legal Mosaic slices) and
+    transposed to (C, NQ) IN VMEM, so the (bs,h,L,P,K)->tiles interleave
+    that cost 8.8 ms/call at 1920x1280 (ROUND3_NOTES.md) disappears, along
+    with its optimization-barrier layout pinning.  The output is written as
+    (th, tw, HD) raster blocks into a (bs, Hq, Wq, HD) array — a reshape
+    away from the (bs, K, HD) the model consumes — eliminating the
+    out-side un-tiling transpose as well."""
+    L = len(spatial_shapes)
+    bs = cpk_lq.shape[0]
+    h, d, P = num_heads, head_dim, num_points
+    HLP = h * L * P
+    C = cpk_lq.shape[-1]
+    assert C >= 3 * HLP, (C, HLP)
+    HD = value_lvls[0].shape[-1]
+    Hq, Wq = spatial_shapes[lq]
+    (th, tw), win = _win_geometry(lq, spatial_shapes, radius)
+    nty, ntx = -(-Hq // th), -(-Wq // tw)
+    NQ = th * tw
+    pad_y, pad_x = nty * th - Hq, ntx * tw - Wq
+    if pad_y or pad_x:
+        # padded queries carry zero weights -> contribute nothing
+        cpk_lq = jnp.pad(cpk_lq, ((0, 0), (0, pad_y), (0, pad_x), (0, 0)))
+    vdtype = value_lvls[0].dtype
+
+    def kernel(cref, *refs):
+        v_refs = refs[:L]
+        out_ref = refs[L]
+        cnt_ref = refs[L + 1]
+        slabs = refs[L + 2 : L + 2 + L]
+        sems = refs[-1]
+
+        b = pl.program_id(0)
+        ty = pl.program_id(1)
+        tx = pl.program_id(2)
+        copies, starts = _start_window_copies(
+            v_refs, slabs, sems, b, ty, tx, th=th, tw=tw, Hq=Hq, Wq=Wq,
+            spatial_shapes=spatial_shapes, win=win, radius=radius,
+        )
+
+        # (th, tw, C) -> (NQ, C): tw is 8-aligned, so the merge is
+        # layout-free; the transpose puts queries on the lane axis for the
+        # separable splat build (Mosaic lowers the 2D transpose natively)
+        cb = cref[0].reshape(NQ, C).T  # (C, NQ)
+        xb = cb[0:HLP]
+        yb = cb[HLP : 2 * HLP]
+        wb = cb[2 * HLP : 3 * HLP]
+        out, cnt = _splat_tile(
+            xb, yb, wb, slabs, copies, starts, spatial_shapes=spatial_shapes,
+            win=win, h=h, d=d, P=P, L=L, NQ=NQ, HD=HD, vdtype=vdtype,
+            dot_mode=dot_mode,
+        )
+        out_ref[0] = out.reshape(th, tw, HD)
+        cnt_ref[0, 0, 0] = jnp.concatenate(
+            [cnt, jnp.zeros((7, NQ), jnp.float32)], axis=0
+        )
+
+    grid = (bs, nty, ntx)
+    out, cnt = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, tw, C), lambda b, i, j: (b, i, j, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * L,
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, tw, HD), lambda b, i, j: (b, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, 8, NQ), lambda b, i, j: (b, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, nty * th, ntx * tw, HD), jnp.float32),
+            jax.ShapeDtypeStruct((bs, nty, ntx, 8, NQ), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((wh, ww, HD), vdtype) for wh, ww in win]
+        + [pltpu.SemaphoreType.DMA((L,))],
+        interpret=interpret,
+    )(cpk_lq, *value_lvls)
+
+    out = out[:, :Hq, :Wq].reshape(bs, Hq * Wq, HD)
+    return out, jnp.sum(cnt)
+
+
+def _build_value_lvls(value, spatial_shapes, interpret):
+    """Per-level head-fused value slabs (bs, Ht, rup8(Wt), HD_pad): W padded
+    to the sublane multiple, lanes to the 128 tile multiple (padded cells
+    are zeros == grid_sample zeros padding, so exactness is unaffected)."""
+    bs, K, h, d = value.shape
+    HD = h * d
+    HD_pad = HD if interpret else -(-HD // 128) * 128
+    v_hm = value.reshape(bs, K, HD)
+    lvl_start = np.concatenate(
+        [[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])]
+    )
+    value_lvls = []
+    for i, (Ht, Wt) in enumerate(spatial_shapes):
+        lvl = jax.lax.slice_in_dim(
+            v_hm, int(lvl_start[i]), int(lvl_start[i + 1]), axis=1
+        ).reshape(bs, Ht, Wt, HD)
+        if Wt % 8 or HD_pad != HD:
+            lvl = jnp.pad(
+                lvl, ((0, 0), (0, 0), (0, _rup8(Wt) - Wt), (0, HD_pad - HD))
+            )
+        value_lvls.append(lvl)
+    return value_lvls, HD_pad, lvl_start
+
+
+def unpack_coords_qmajor(cpk, num_heads, num_levels, num_points):
+    """(bs, K, C) packed q-major coords -> q-minor (x, y, w), each
+    (bs, h, L, P, K) fp32 — for the correction branches, the coarse-level
+    oracle fallback, and the pair-table backward (all off the hot path)."""
+    bs, K, _ = cpk.shape
+    HLP = num_heads * num_levels * num_points
+    t = cpk.transpose(0, 2, 1)  # (bs, C, K)
+    shape = (bs, num_heads, num_levels, num_points, K)
+    x = jax.lax.slice_in_dim(t, 0, HLP, axis=1).reshape(shape)
+    y = jax.lax.slice_in_dim(t, HLP, 2 * HLP, axis=1).reshape(shape)
+    w = jax.lax.slice_in_dim(t, 2 * HLP, 3 * HLP, axis=1).reshape(shape)
+    return x, y, w
+
+
+def pack_coords_qmajor(x, y, w, interpret=False):
+    """q-minor (bs, h, L, P, K) coords -> packed q-major (bs, K, C) with the
+    channel layout ``msda_win_qm_packed`` expects (tests / compatibility
+    shim; the production model builds the packed tensor natively without
+    any transpose — models/msda_module.py)."""
+    bs, h, L, P, K = x.shape
+    HLP = h * L * P
+    cpk = jnp.concatenate(
+        [a.reshape(bs, HLP, K) for a in (x, y, w)], axis=1
+    ).transpose(0, 2, 1)
+    C = 3 * HLP if interpret else -(-3 * HLP // 128) * 128
+    if C != 3 * HLP:
+        cpk = jnp.pad(cpk, ((0, 0), (0, 0), (0, C - 3 * HLP)))
+    return cpk.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spatial_shapes", "num_points", "radius", "interpret", "with_count",
+        "dot_mode",
+    ),
+)
+def msda_win_qm_packed(
+    value: jax.Array,  # (bs, K, h, d)
+    spatial_shapes: Shapes,
+    cpk: jax.Array,  # (bs, K, C) fp32 packed [x(HLP) | y(HLP) | w(HLP) | pad]
+    num_points: int,
+    radius: int = 4,
+    interpret: bool = False,
+    with_count: bool = False,
+    dot_mode: str = "dq",
+):
+    """Packed-coordinate windowed MSDA over all query levels; semantics
+    identical to ``msda_win_qm`` (exact inside ``win_envelope_mask``'s
+    domain, out-of-envelope taps zeroed in-kernel and counted), but with
+    zero coordinate relayout on the hot path (see msda_win_lq_packed)."""
+    bs, K, h, d = value.shape
+    L = len(spatial_shapes)
+    P = num_points
+    HLP = h * L * P
+    assert cpk.shape[0] == bs and cpk.shape[1] == K, cpk.shape
+    assert cpk.shape[2] >= 3 * HLP, (cpk.shape, HLP)
+    HD = h * d
+    value_lvls, HD_pad, lvl_start = _build_value_lvls(value, spatial_shapes, interpret)
+
+    outs = []
+    counts = []
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        s, e = int(lvl_start[lq]), int(lvl_start[lq + 1])
+        th, tw = _tile_shape_for_level(lq, L)
+        if th * tw < 16:
+            # coarse query levels (<2% of queries) — exact flat-gather
+            # oracle, as in msda_win_qm (see there for the rationale)
+            from codetr_tpu.ops.msda import msda_reference_qm
+
+            cl = jax.lax.slice_in_dim(cpk, s, e, axis=1)
+            xl, yl, wl = unpack_coords_qmajor(cl, h, L, P)
+            o = msda_reference_qm(value, spatial_shapes, xl, yl, wl).astype(
+                jnp.float32
+            )
+            if HD_pad != HD:
+                o = jnp.pad(o, ((0, 0), (0, 0), (0, HD_pad - HD)))
+            outs.append(o)
+            continue
+        cl = jax.lax.slice_in_dim(cpk, s, e, axis=1).reshape(
+            bs, Hq, Wq, cpk.shape[-1]
+        )
+        o, n = msda_win_lq_packed(
+            value_lvls, cl, lq=lq, spatial_shapes=spatial_shapes,
+            radius=radius, num_heads=h, head_dim=d, num_points=P,
+            interpret=interpret, dot_mode=dot_mode,
+        )
+        outs.append(o)
+        counts.append(n)
+    out = jnp.concatenate(outs, axis=1)  # (bs, K, HD_pad)
+    if HD_pad != HD:
+        out = out[..., :HD]
+    out = out.astype(value.dtype)
+    if with_count:
+        return out, sum(counts)
+    return out
+
+
 def win_envelope_mask(
     spatial_shapes: Shapes,
     x: jax.Array,  # (bs, h, L, P, K) normalized x
@@ -492,25 +721,7 @@ def msda_win_qm(
     P = x.shape[3]
     assert x.shape == (bs, h, L, P, K), x.shape
     HD = h * d
-    # Mosaic DMA slices must cover whole 128-lane tiles; pad the head-fused
-    # lane dim when a (test) config is narrower than that
-    HD_pad = HD if interpret else -(-HD // 128) * 128
-
-    # per-level head-fused value slabs (bs, Ht, rup8(Wt), HD_pad): W padded
-    # to the sublane multiple, lanes to the tile multiple (padded cells are
-    # zeros == grid_sample zeros padding, so exactness is unaffected)
-    v_hm = value.reshape(bs, K, HD)
-    lvl_start = np.concatenate([[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])])
-    value_lvls = []
-    for i, (Ht, Wt) in enumerate(spatial_shapes):
-        lvl = jax.lax.slice_in_dim(
-            v_hm, int(lvl_start[i]), int(lvl_start[i + 1]), axis=1
-        ).reshape(bs, Ht, Wt, HD)
-        if Wt % 8 or HD_pad != HD:
-            lvl = jnp.pad(
-                lvl, ((0, 0), (0, 0), (0, _rup8(Wt) - Wt), (0, HD_pad - HD))
-            )
-        value_lvls.append(lvl)
+    value_lvls, HD_pad, lvl_start = _build_value_lvls(value, spatial_shapes, interpret)
 
     f32 = jnp.float32
     xq = x.astype(f32)
