@@ -98,9 +98,11 @@ CANARY_HEALTHY_MS = {
     # decoder-scale pair-gather, 900 queries: 3.3 ms measured on a healthy
     # chip in round 1 (unchanged code since)
     "900q": 3.3,
-    # encoder-scale pair-gather at 608x608 shapes: round-2 ratio-calibrated
-    # estimate 3.9 ms; pin to a raw measurement the first healthy window
-    "enc608": 3.9,
+    # encoder-scale pair-gather at 608x608 shapes: 130 ms RAW measured in a
+    # canary-sane window (ROUND3_NOTES.md; XLA gather runs ~75-85M rows/s
+    # flat at every scale).  The former 3.9 was a round-2 ratio-calibration
+    # artifact — round-3 VERDICT weak #2.
+    "enc608": 130.0,
 }
 
 
@@ -126,9 +128,12 @@ def make_canary_timer(Q: int = 900, iters: int = 5):
     f = jax.jit(lambda v, l, ww: msda_pair_gather(v, shapes, l, ww))
 
     def loop(n, *a):
+        # carry perturbs the value input -> loop-CARRIED body (un-hoistable);
+        # full-sum fold -> no DCE (same guards as runtime/aot.make_loop_timer)
         def body(i, c):
-            o = f(*a)
-            return c + o.reshape(-1)[0].astype(jnp.float32) * 1e-12
+            v = a[0] + (c * jnp.float32(1e-30)).astype(a[0].dtype)
+            o = f(v, *a[1:])
+            return c + jnp.sum(o.astype(jnp.float32)) * 1e-12
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -178,8 +183,9 @@ def hunt_sane_window(run_block, canary, *, seconds: float, max_rounds: int,
         rounds.append((c, b))
         if c <= 2.0 * CANARY_HEALTHY_MS["900q"]:
             sane += 1
-            if sane >= 3:
-                break  # enough healthy evidence
+            if sane >= 6:
+                break  # enough healthy evidence (round-3 VERDICT weak #6:
+                # 3 sane blocks made a thin sample; 6 tightens the record)
     return rounds
 
 

@@ -55,6 +55,9 @@ Shapes = Tuple[Tuple[int, int], ...]
 import os as _os
 
 _DEBUG_STAGE = _os.environ.get("MSDA_WIN_DEBUG", "")
+# "auto" (default): splat planes in the value dtype; "f32": force the
+# round-3 f32 splat build (A/B attribution only)
+_SPLAT_DTYPE = _os.environ.get("MSDA_WIN_SPLAT", "auto")
 
 
 def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
@@ -80,11 +83,14 @@ def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
     if lq == 1:
         return (8, 16)
     if lq == 2:
-        # (8,16) exceeded the 16 MB scoped-vmem limit by 7.3 MB @1920x1280
-        # (the stride-16 tile's window onto the stride-4 level is 42x88
-        # cells); (8,8) still tipped 244 KB over inside the full-model graph
-        # at 608x608.  (4,8) leaves comfortable headroom; lq>=2 is <2% of
-        # the queries, so the lane under-utilization is irrelevant.
+        # (8,16) exceeds the 16 MB scoped-vmem limit (29.3 MB measured @608
+        # round 4, even with the bf16 splat planes — Mosaic keeps ~7-10
+        # (WinH, WinW, NQ) temporaries live and the stride-16 tile's window
+        # onto the stride-4 level is 44x88 cells); (8,8) tipped 244 KB over
+        # inside the full-model graph at 608x608.  (4,8) fits.  Cost note:
+        # the NQ=32 planes are lane-padded 4x by Mosaic, so lq2 costs far
+        # more than its <5% query share — a known round-4 optimization
+        # target (see ROUND4_NOTES.md).
         return (4, 8)
     if lq == 3:
         return (4, 2)
@@ -168,7 +174,23 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
     The MXU pads the OUTPUT lane dim to 128, so the "qd" form's (NQ, d=32)
     result wastes 4x the lanes; putting NQ (>= 128 for the hot levels) on
     the lanes makes every dot full-width.  The (d, NQ) accumulators are
-    transposed back once per tile at the end."""
+    transposed back once per tile at the end.
+
+    Splat precision: the hats are evaluated in f32 on the SMALL separable
+    planes (coordinates up to ~hundreds of cells would lose their fraction
+    in bf16), then cast to the VALUE dtype for the expansion into the
+    (WinH, WinW, NQ) planes — the round-3 kernel cast S to vdtype right
+    before the dot anyway, so a bf16 model sees the same rounding class
+    (one bf16 ULP on S entries in [0,1]) while the dominant full-plane
+    broadcast-multiply-accumulate runs at packed-bf16 VPU throughput and
+    half the VMEM.  Tiles with a partial lane dim (NQ < 128) stay f32:
+    Mosaic cannot shape-cast sub-lane-tile bf16 vectors (observed:
+    "infer-vector-layout: unsupported shape cast" on (28,32)bf16 ->
+    (28,1,32) at NQ=32)."""
+    if _SPLAT_DTYPE == "f32":  # attribution-only A/B knob
+        sdt = jnp.float32
+    else:
+        sdt = vdtype if (vdtype == jnp.bfloat16 and NQ % 128 == 0) else jnp.float32
     acc_shape = (d, NQ) if dot_mode == "dq" else (NQ, d)
     accs = [jnp.zeros(acc_shape, jnp.float32) for _ in range(h)]
     cnt = jnp.zeros((1, NQ), jnp.float32)
@@ -220,7 +242,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                         preferred_element_type=jnp.float32,
                     )
                 continue
-            S3 = jnp.zeros((WinH, WinW, NQ), jnp.float32)
+            S3 = jnp.zeros((WinH, WinW, NQ), sdt)
             for p in range(P):
                 c = (hh * L + lt) * P + p
                 # window-local pixel coords of this tap (grid_sample
@@ -242,9 +264,11 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                 )
                 hx = jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xp))  # (WinW, NQ)
                 hy = jnp.maximum(0.0, wp - wp * jnp.abs(ioH - yp))
-                S3 = S3 + hy[:, None, :] * hx[None, :, :]
+                S3 = S3 + hy.astype(sdt)[:, None, :] * hx.astype(sdt)[None, :, :]
             if _DEBUG_STAGE == "nodot":
-                accs[hh] = accs[hh] + S3.reshape(cells, NQ)[: acc_shape[0], :]
+                accs[hh] = accs[hh] + S3.reshape(cells, NQ).astype(jnp.float32)[
+                    : acc_shape[0], :
+                ]
             elif dot_mode == "dq":
                 accs[hh] = accs[hh] + jax.lax.dot_general(
                     slab[:, hh * d : (hh + 1) * d],

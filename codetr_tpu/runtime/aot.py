@@ -216,14 +216,30 @@ def make_loop_timer(fn: Callable, args: Sequence[jax.Array]) -> Callable[[int], 
     out = fn(*args)  # compile / warmup
     jax.block_until_ready(out)
 
+    # Two guards against XLA optimizing the timing loop away (round-3
+    # VERDICT weak #5): (1) fold a cheap FULL reduction of every output leaf
+    # into the carry — consuming one scalar would let DCE drop the rest of
+    # the computation; (2) perturb the first input leaf by carry * 1e-30 so
+    # the body is loop-CARRIED, not loop-invariant — otherwise a hoisting
+    # pass could legally run the body once and reuse the result n times.
+    # Both are O(input/output bytes), negligible next to the model.
+    def _fold(c, o):
+        for leaf in jax.tree.leaves(o):
+            c = c + jnp.sum(leaf.astype(jnp.float32)) * 1e-12
+        return c
+
+    def _perturb(a, c):
+        first, rest = a[0], a[1:]
+        first = first + (c * jnp.float32(1e-30)).astype(first.dtype)
+        return (first, *rest)
+
     bound = getattr(fn, "bound", None)
     if bound is not None:
         inner, params = bound
 
         def loop_b(n, p, *a):
             def body(i, c):
-                o = inner(p, *a)
-                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
+                return _fold(c, inner(p, *_perturb(a, c)))
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -242,8 +258,7 @@ def make_loop_timer(fn: Callable, args: Sequence[jax.Array]) -> Callable[[int], 
 
         def loop(n, *a):
             def body(i, c):
-                o = fn(*a)
-                return c + jax.tree.leaves(o)[0].reshape(-1)[0].astype(jnp.float32) * 1e-12
+                return _fold(c, fn(*_perturb(a, c)))
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

@@ -59,6 +59,15 @@ struct Args {
   bool bf16 = false;
   float score_threshold = 0.0f;
   float iou_threshold = 0.8f;
+  // prefix for raw f32 dumps of the model outputs (<p>.boxes.bin /
+  // .scores.bin / .labels.bin) — lets tests compare the native execute
+  // path against the Python Inferencer at full precision instead of
+  // parsing the 5-row %.1f detection printout
+  std::string dump_raw;
+  // named PJRT_Client_Create options ("k=v"; all-digit v sent as int64) —
+  // plugins like the axon tunnel require topology/session parameters that
+  // jax normally supplies (axon/register/pjrt.py _register_backend)
+  std::vector<std::pair<std::string, std::string>> client_options;
 };
 
 const PJRT_Api* g_api = nullptr;
@@ -206,6 +215,17 @@ int main(int argc, char** argv) {
     else if (k == "--score-threshold") args.score_threshold = std::stof(next());
     else if (k == "--iou-threshold") args.iou_threshold = std::stof(next());
     else if (k == "--bf16") args.bf16 = true;
+    else if (k == "--dump-raw") args.dump_raw = next();
+    else if (k == "--client-option") {
+      std::string kv = next();
+      size_t eq = kv.find('=');
+      if (eq == std::string::npos) {
+        std::fprintf(stderr, "FATAL --client-option expects k=v, got %s\n",
+                     kv.c_str());
+        return 2;
+      }
+      args.client_options.emplace_back(kv.substr(0, eq), kv.substr(eq + 1));
+    }
     else if (k == "--smoke") args.smoke = true;
     else {
       std::fprintf(stderr,
@@ -213,7 +233,7 @@ int main(int argc, char** argv) {
                    "[--model m.stablehlo [--params m.params.npz] "
                    "--height H --width W [--bf16] "
                    "[--image x.jpg | --image raw_rgb.bin --image-height H "
-                   "--image-width W] [--iterations N]]\n",
+                   "--image-width W] [--iterations N] [--dump-raw prefix]]\n",
                    argv[0]);
       return 2;
     }
@@ -257,9 +277,35 @@ int main(int argc, char** argv) {
   }
 
   // ---- client + device ----
+  // named create options (e.g. the axon tunnel plugin needs
+  // topology/session_id/remote_compile, matching what jax's registration
+  // passes in axon/register/pjrt.py); all-digit values go as int64
+  std::vector<PJRT_NamedValue> nvs;
+  nvs.reserve(args.client_options.size());
+  for (auto& [key, val] : args.client_options) {
+    PJRT_NamedValue nv;
+    std::memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = key.c_str();
+    nv.name_size = key.size();
+    bool all_digit = !val.empty() &&
+                     val.find_first_not_of("0123456789") == std::string::npos;
+    if (all_digit) {
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = std::stoll(val);
+      nv.value_size = 1;
+    } else {
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = val.c_str();
+      nv.value_size = val.size();
+    }
+    nvs.push_back(nv);
+  }
   PJRT_Client_Create_Args cc;
   std::memset(&cc, 0, sizeof(cc));
   cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cc.create_options = nvs.empty() ? nullptr : nvs.data();
+  cc.num_options = nvs.size();
   check(g_api->PJRT_Client_Create(&cc), "Client_Create");
   PJRT_Client* client = cc.client;
 
@@ -497,6 +543,24 @@ int main(int argc, char** argv) {
   const int n = static_cast<int>(scores.size());
   std::printf("outputs: boxes %zu scores %zu labels %zu\n", boxes.size() / 4,
               scores.size(), labels_f.size());
+
+  if (!args.dump_raw.empty()) {
+    auto dump = [&](const char* suffix, const std::vector<float>& v) {
+      std::string p = args.dump_raw + suffix;
+      std::FILE* f = std::fopen(p.c_str(), "wb");
+      if (!f) {
+        std::fprintf(stderr, "FATAL fopen(%s) failed\n", p.c_str());
+        std::exit(2);
+      }
+      std::fwrite(v.data(), sizeof(float), v.size(), f);
+      std::fclose(f);
+    };
+    dump(".boxes.bin", boxes);
+    dump(".scores.bin", scores);
+    dump(".labels.bin", labels_f);
+    std::printf("raw outputs dumped to %s.{boxes,scores,labels}.bin\n",
+                args.dump_raw.c_str());
+  }
 
   auto t0 = std::chrono::steady_clock::now();
   for (int i = 0; i < args.iterations; ++i) run_once();
