@@ -118,6 +118,16 @@ class MSDAConfig:
     im2col_step: int = 64  # kept for interface parity; unused on TPU
     dropout: float = 0.0
     value_proj_ratio: float = 1.0
+    # windowed-kernel exactness-correction sizing (grid/encoder queries
+    # only).  The defaults keep the reference's +-4 px offset INIT exactly
+    # in-envelope with zero correction cost; for a trained checkpoint run
+    # ops/msda_calibrate.suggest_correction on a calibration batch and set
+    # these from its plan (round-3 VERDICT item 3).  grid_radius: window
+    # halo in target-level px.  correction_budget: max out-of-envelope taps
+    # the O(budget) sparse tier absorbs before falling back to the exact
+    # whole-table gather tier.
+    grid_radius: int = 5
+    correction_budget: int = 65536
 
     @property
     def head_dims(self) -> int:

@@ -50,12 +50,13 @@ class MultiScaleDeformableAttention(nn.Module):
     # queries are the level-concatenated pixel grid (encoder self-attention):
     # enables the gather-free shift-window path (ops/msda_grid.py)
     grid_queries: bool = False
-    # 5, not 4: the reference offset init reaches exactly +-4 px (point
-    # index 3 x unit direction), and radius 5 is the smallest envelope that
-    # keeps ALL init taps in-window (measured: radius 4 leaves 39k/4.9M
-    # taps out at 608x608 -> the exact-but-expensive correction pass would
-    # fire on every call at init weights; radius 5 leaves 0 out)
-    grid_radius: int = 5
+    # None -> cfg.grid_radius (default 5, not 4: the reference offset init
+    # reaches exactly +-4 px — point index 3 x unit direction — and radius 5
+    # is the smallest envelope that keeps ALL init taps in-window; measured:
+    # radius 4 leaves 39k/4.9M taps out at 608x608, so the correction would
+    # fire on every call at init weights).  For trained checkpoints size
+    # cfg.grid_radius/cfg.correction_budget via ops/msda_calibrate.
+    grid_radius: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -145,7 +146,8 @@ class MultiScaleDeformableAttention(nn.Module):
                 cpk = jnp.pad(cpk, ((0, 0), (0, 0), (0, C - 3 * HLP)))
             out = msda_grid_packed(
                 v, spatial_shapes, cpk, P_, impl=self.impl,
-                radius=self.grid_radius,
+                radius=self.grid_radius or c.grid_radius,
+                correction_budget=c.correction_budget,
             )
             out = out.astype(self.dtype)
             out = dense(c.embed_dims, "output_proj")(out)
@@ -176,7 +178,8 @@ class MultiScaleDeformableAttention(nn.Module):
 
             out = msda_grid_qm(
                 v, spatial_shapes, x, y, attn_qm,
-                impl=self.impl, radius=self.grid_radius,
+                impl=self.impl, radius=self.grid_radius or c.grid_radius,
+                correction_budget=c.correction_budget,
             )
             out = out.astype(self.dtype)
             out = dense(c.embed_dims, "output_proj")(out)

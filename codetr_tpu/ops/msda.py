@@ -798,10 +798,15 @@ def _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret,
         ).astype(out.dtype)
 
     def full(_):
+        # the worst-case tier: exact for ANY offset distribution at gather
+        # cost.  Pitched gather packs all 4 bilinear corners into ONE row
+        # per tap — half the rows of pair-gather, a quarter of the flat
+        # oracle — so the cliff is ~2x shallower (XLA gather is row-count
+        # bound at ~80 M rows/s, ROUND3_NOTES.md).
         v2, x2, y2, w2 = _branch_inputs()
         mask = win_envelope_mask(spatial_shapes, x2, y2, radius=radius)
         w_out = jnp.where(mask, 0, w2)
-        return msda_reference_qm(v2, spatial_shapes, x2, y2, w_out).astype(out.dtype)
+        return msda_pitched_gather_qm(v2, spatial_shapes, x2, y2, w_out).astype(out.dtype)
 
     def correction(_):
         return jax.lax.cond(
@@ -872,8 +877,10 @@ def _win_exact_ad_packed(value, spatial_shapes, cpk, num_points, radius,
         ).astype(out.dtype)
 
     def full(_):
+        # pitched gather: see _win_exact_ad.full (1 row/tap — the cheapest
+        # exact any-offset tier measured on this chip)
         v2, x2, y2, w_out = _unpacked()
-        return msda_reference_qm(v2, spatial_shapes, x2, y2, w_out).astype(out.dtype)
+        return msda_pitched_gather_qm(v2, spatial_shapes, x2, y2, w_out).astype(out.dtype)
 
     def correction(_):
         return jax.lax.cond(
@@ -929,11 +936,14 @@ def msda_grid_packed(
     *,
     impl: str = "auto",
     radius: int = 4,
+    correction_budget: int = 65536,
 ) -> jax.Array:
     """Grid-query MSDA on PACKED q-major coordinates — the production
     encoder entry (exact for arbitrary offsets via the envelope-split
     correction, fused pair-table backward).  ``impl="reference"`` unpacks
-    and runs the flat-gather oracle (tests / CPU)."""
+    and runs the flat-gather oracle (tests / CPU).  Size ``radius`` /
+    ``correction_budget`` for a trained checkpoint with
+    ops/msda_calibrate.suggest_correction."""
     if impl == "reference":
         from codetr_tpu.ops.msda_win import unpack_coords_qmajor
 
@@ -943,7 +953,8 @@ def msda_grid_packed(
     assert impl in ("auto", "win"), impl
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
     return _win_exact_ad_packed(
-        value, spatial_shapes, cpk, num_points, radius, interpret, 16384
+        value, spatial_shapes, cpk, num_points, radius, interpret,
+        correction_budget,
     )
 
 
@@ -957,6 +968,7 @@ def msda_grid_qm(
     impl: str = "auto",
     radius: int = 4,
     envelope: str = "correct",
+    correction_budget: int = 65536,
 ) -> jax.Array:
     """Grid-query MSDA on q-minor coordinates, exact for ARBITRARY offsets.
 
@@ -982,7 +994,8 @@ def msda_grid_qm(
         # auto-on-grid is only reached through model code, whose CPU tests
         # use tiny shapes.
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
-        return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret, 16384)
+        return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret,
+                             correction_budget)
     from codetr_tpu.ops.msda_grid import envelope_mask, msda_grid_shift_qm
     from codetr_tpu.ops.msda_pallas import msda_grid_pallas_qm
     from codetr_tpu.ops.msda_win import msda_win_qm, win_envelope_mask
@@ -995,7 +1008,8 @@ def msda_grid_qm(
         interpret = jax.devices()[0].platform not in ("tpu", "axon")
         if envelope == "correct":
             # custom_vjp composite: exact forward + fused pair-table backward
-            return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret, 16384)
+            return _win_exact_ad(value, spatial_shapes, x, y, w, radius, interpret,
+                             correction_budget)
         grid_fn = partial(msda_win_qm, radius=radius, interpret=interpret)
         mask_fn = partial(win_envelope_mask, radius=radius)
     elif impl == "grid":

@@ -55,6 +55,10 @@ Shapes = Tuple[Tuple[int, int], ...]
 import os as _os
 
 _DEBUG_STAGE = _os.environ.get("MSDA_WIN_DEBUG", "")
+# coarse-query-level exact fallback: "pitched" (1 gather row/tap, real
+# corner-table build) | "pair" (2 rows/tap, cheap 2-roll table) |
+# "reference" (4 rows/tap, free view table) — A/B knob; see ROUND4_NOTES.md
+_COARSE_IMPL = _os.environ.get("MSDA_WIN_COARSE", "pair")
 # "auto" (default): splat planes in the value dtype; "f32": force the
 # round-3 f32 splat build (A/B attribution only)
 _SPLAT_DTYPE = _os.environ.get("MSDA_WIN_SPLAT", "auto")
@@ -182,16 +186,18 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
     (WinH, WinW, NQ) planes — the round-3 kernel cast S to vdtype right
     before the dot anyway, so a bf16 model sees the same rounding class
     (one bf16 ULP on S entries in [0,1]) while the dominant full-plane
-    broadcast-multiply-accumulate runs at packed-bf16 VPU throughput and
-    half the VMEM.  Tiles with a partial lane dim (NQ < 128) stay f32:
-    Mosaic cannot shape-cast sub-lane-tile bf16 vectors (observed:
-    "infer-vector-layout: unsupported shape cast" on (28,32)bf16 ->
-    (28,1,32) at NQ=32)."""
-    if _SPLAT_DTYPE == "f32":  # attribution-only A/B knob
-        sdt = jnp.float32
-    else:
+    Splat planes stay f32: the round-4 A/B at the @1920 lq0 geometry
+    measured the bf16 expansion 1.5x SLOWER (29.1 vs 19.4 ms/call) — v5e
+    Mosaic converts bf16 elementwise through f32 per op instead of packing,
+    so bf16 only added conversions (and Mosaic cannot shape-cast
+    sub-lane-tile bf16 vectors at all: "infer-vector-layout: unsupported
+    shape cast" on (28,32)bf16 -> (28,1,32) at NQ=32).  MSDA_WIN_SPLAT=bf16
+    re-enables the experiment on full-lane tiles."""
+    if _SPLAT_DTYPE == "bf16":  # attribution-only A/B knob
         sdt = vdtype if (vdtype == jnp.bfloat16 and NQ % 128 == 0) else jnp.float32
-    acc_shape = (d, NQ) if dot_mode == "dq" else (NQ, d)
+    else:
+        sdt = jnp.float32
+    acc_shape = (NQ, d) if dot_mode == "qd" else (d, NQ)
     accs = [jnp.zeros(acc_shape, jnp.float32) for _ in range(h)]
     cnt = jnp.zeros((1, NQ), jnp.float32)
     for lt, (Ht, Wt) in enumerate(spatial_shapes):
@@ -221,6 +227,14 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
         ioW = jax.lax.broadcasted_iota(jnp.int32, (WinW, NQ), 0).astype(jnp.float32)
         copies[lt].wait()
         slab = slabs[lt][:].reshape(cells, HD)
+        if dot_mode == "dqp":
+            # ONE (cells, h, d) -> (h, cells, d) relayout per level; the
+            # per-head operand then comes from a free major-axis slice
+            # instead of eight 32-lane slices of the 256-lane slab (round-4
+            # measurement: the full-slab dot with NO lane slices beat the
+            # sliced per-head dots at 8x the MACs — the slices dominate).
+            slab_t = slab.reshape(cells, h, d).transpose(1, 0, 2)
+        S3_lanes = [] if dot_mode == "stack" else None
         for hh in range(h):
             if _DEBUG_STAGE in ("nosplat", "minimal"):
                 c0 = (hh * L + lt) * P
@@ -269,6 +283,27 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                 accs[hh] = accs[hh] + S3.reshape(cells, NQ).astype(jnp.float32)[
                     : acc_shape[0], :
                 ]
+            elif _DEBUG_STAGE == "dotfull":
+                # attribution: dot against the FULL 256-lane slab (8x the
+                # MACs, M=256 output rows, NO 32-lane slab slice).  If this
+                # is not ~8x slower than production, the per-head lane
+                # slice / M=32 output waste dominates the dot cost.
+                full = jax.lax.dot_general(
+                    slab,
+                    S3.reshape(cells, NQ).astype(vdtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (HD, NQ)
+                accs[hh] = accs[hh] + full[hh * d : (hh + 1) * d, :]
+            elif dot_mode == "stack":
+                S3_lanes.append(S3.reshape(cells, NQ).astype(vdtype))
+            elif dot_mode == "dqp":
+                accs[hh] = accs[hh] + jax.lax.dot_general(
+                    slab_t[hh],
+                    S3.reshape(cells, NQ).astype(vdtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             elif dot_mode == "dq":
                 accs[hh] = accs[hh] + jax.lax.dot_general(
                     slab[:, hh * d : (hh + 1) * d],
@@ -283,12 +318,45 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-    if dot_mode == "dq":
+        if dot_mode == "stack":
+            # ONE MXU dot per level: (cells, HD)^T-contract-(cells, h*NQ);
+            # per-head results live in tile-aligned (32-row, NQ-lane) blocks
+            # of the (HD, h*NQ) output — both extractions are cheap.  8x the
+            # useful MACs, but every dot is full-width on both output axes.
+            S_big = jnp.concatenate(S3_lanes, axis=-1)  # (cells, h*NQ)
+            full = jax.lax.dot_general(
+                slab, S_big,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (HD, h*NQ)
+            for hh in range(h):
+                accs[hh] = accs[hh] + full[
+                    hh * d : (hh + 1) * d, hh * NQ : (hh + 1) * NQ
+                ]
+    if dot_mode in ("dq", "dqp", "stack"):
         accs = [a.T for a in accs]
     out = jnp.concatenate(accs, axis=1)  # (NQ, h*d)
     if HD != h * d:  # caller 128-padded the lane dim
         out = jnp.pad(out, ((0, 0), (0, HD - h * d)))
     return out, cnt
+
+
+def _coarse_fallback(value, spatial_shapes, x, y, w):
+    """Exact whole-table gather for coarse query levels (<16-query tiles).
+
+    Default "pair" (2 gather rows/tap over a 2-roll corner table): the
+    round-4 standalone A/B at 1920x1280 measured reference(4-row) 30.4+14.8
+    ms and pitched(1-row) 25.1+20.8 ms for the two coarse levels — pitched's
+    corner-table build (pad + concat + 4 rolls over ~600 MB) dominates at
+    these row counts, while the pair table is two rolls of a free reshape
+    view.  All three are exact for any offsets."""
+    from codetr_tpu.ops import msda as _m
+
+    if _COARSE_IMPL == "reference":
+        return _m.msda_reference_qm(value, spatial_shapes, x, y, w)
+    if _COARSE_IMPL == "pitched":
+        return _m.msda_pitched_gather_qm(value, spatial_shapes, x, y, w)
+    return _m.msda_pair_gather_qm(value, spatial_shapes, x, y, w)
 
 
 def msda_win_lq(
@@ -626,13 +694,16 @@ def msda_win_qm_packed(
         s, e = int(lvl_start[lq]), int(lvl_start[lq + 1])
         th, tw = _tile_shape_for_level(lq, L)
         if th * tw < 16:
-            # coarse query levels (<2% of queries) — exact flat-gather
-            # oracle, as in msda_win_qm (see there for the rationale)
-            from codetr_tpu.ops.msda import msda_reference_qm
-
+            # coarse query levels (<2% of queries) — exact whole-table
+            # gather, as in msda_win_qm (see there for the rationale).
+            # PITCHED form (1 gather row per tap): the 4-row flat oracle
+            # measured 30.4 + 14.8 ms for the two coarse levels at
+            # 1920x1280 (round 4) — 45 ms of a ~55 ms call; pitched cuts
+            # the rows 4x and its corner table is CSE'd with the
+            # correction tier's (same value input).
             cl = jax.lax.slice_in_dim(cpk, s, e, axis=1)
             xl, yl, wl = unpack_coords_qmajor(cl, h, L, P)
-            o = msda_reference_qm(value, spatial_shapes, xl, yl, wl).astype(
+            o = _coarse_fallback(value, spatial_shapes, xl, yl, wl).astype(
                 jnp.float32
             )
             if HD_pad != HD:
@@ -766,12 +837,10 @@ def msda_win_qm(
             # ~1-3 ms at these query counts (75M rows/s, ROUND3_NOTES.md)
             # and is exact for ANY offset, so it contributes 0 to the
             # out-of-envelope count.
-            from codetr_tpu.ops.msda import msda_reference_qm
-
             xl = jax.lax.slice_in_dim(xq, s, e, axis=4)
             yl = jax.lax.slice_in_dim(yq, s, e, axis=4)
             wl = jax.lax.slice_in_dim(wq, s, e, axis=4)
-            o = msda_reference_qm(value, spatial_shapes, xl, yl, wl).astype(
+            o = _coarse_fallback(value, spatial_shapes, xl, yl, wl).astype(
                 jnp.float32
             )  # (bs, Hq*Wq, HD)
             if HD_pad != HD:

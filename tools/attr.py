@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Whole-model stage attribution on the real chip (round-4 VERDICT item 2).
+
+Times, with interleaved 900q canary probes tagging each measurement with the
+chip's health: features (backbone+neck), detect (encoder+decoder+head), the
+full forward, and one production encoder-MSDA call — then prints a table
+comparing each stage against its FLOP-bound floor at a measured MXU ceiling.
+
+Usage: python tools/attr.py 1920 1280 [--ceiling-tflops 95]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+os.environ.setdefault("TPU_WORKER_HOSTNAMES", "localhost")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("height", type=int, nargs="?", default=1920)
+    ap.add_argument("width", type=int, nargs="?", default=1280)
+    ap.add_argument("--ceiling-tflops", type=float, default=95.0,
+                    help="measured bf16 MXU ceiling this session "
+                    "(tools/: matmul 4096^3 on-device loop)")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--trials", type=int, default=6)
+    args = ap.parse_args()
+    H, W = args.height, args.width
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import make_canary_timer
+    from codetr_tpu.config import co_dino_swin_l
+    from codetr_tpu.models.codetr import build_codetr
+    from codetr_tpu.utils.profiling import cost_analysis
+
+    dtype = jnp.bfloat16
+    model, params = build_codetr(
+        co_dino_swin_l(), dtype=dtype, msda_impl="auto", input_shape=(H, W)
+    )
+    x = jnp.zeros((1, H, W, 3), dtype)
+    mask = jnp.zeros((1, H, W), jnp.float32)
+
+    feat_fn = jax.jit(lambda p, a: model.apply(p, a, method=model.features))
+    det_fn = jax.jit(lambda p, f, m: model.apply(p, f, m, method=model.detect))
+    full_fn = jax.jit(lambda p, a, m: model.apply(p, a, m))
+
+    feats = jax.block_until_ready(feat_fn(params, x))
+    print("features compiled", file=sys.stderr, flush=True)
+
+    flops = {}
+    for name, fn, fa in (
+        ("features", feat_fn, (params, x)),
+        ("detect", det_fn, (params, feats, mask)),
+        ("full", full_fn, (params, x, mask)),
+    ):
+        try:
+            ca = cost_analysis(lambda *a: fn(*a), fa)
+            flops[name] = ca.get("flops", 0.0)
+        except Exception as e:  # cost analysis can be missing on some backends
+            flops[name] = 0.0
+            print(f"cost_analysis({name}) failed: {e}", file=sys.stderr)
+
+    canary = make_canary_timer()
+    canary()
+
+    def timer(fn, fa):
+        def loop(n, *a):
+            def body(i, c):
+                first = a[0]
+                leaves = jax.tree.leaves(first)
+                leaves[0] = leaves[0] + (c * jnp.float32(1e-30)).astype(
+                    leaves[0].dtype
+                )
+                first = jax.tree.unflatten(jax.tree.structure(first), leaves)
+                o = fn(first, *a[1:])
+                s = jnp.float32(0.0)
+                for leaf in jax.tree.leaves(o):
+                    s = s + jnp.sum(leaf.astype(jnp.float32)) * 1e-12
+                return c + s
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+        lo = jax.jit(loop, static_argnums=0)
+        np.asarray(lo(args.iters, *fa))
+
+        def run():
+            t0 = time.perf_counter()
+            np.asarray(lo(args.iters, *fa))
+            return (time.perf_counter() - t0) / args.iters * 1e3
+
+        return run
+
+    results = {}
+    # NOTE: the perturbed first arg is `params` for feat/full (leaf 0 of the
+    # pytree) — a weight perturbed by 1e-30 is harmless and keeps the loop
+    # body loop-carried.
+    stages = (
+        ("features", feat_fn, (params, x)),
+        ("detect", det_fn, (params, feats, mask)),
+        ("full", full_fn, (params, x, mask)),
+    )
+    for name, fn, fa in stages:
+        run = timer(fn, fa)
+        best = None
+        for _ in range(args.trials):
+            c = canary()
+            ms = run()
+            print(json.dumps({"stage": name, "ms": round(ms, 2),
+                              "canary_ms": round(c, 1)}), flush=True)
+            if c <= 8.2 and (best is None or ms < best):
+                best = ms
+        results[name] = best
+
+    ceiling = args.ceiling_tflops * 1e12
+    table = {}
+    for name, best in results.items():
+        fl = flops.get(name, 0.0)
+        floor_ms = fl / ceiling * 1e3 if fl else None
+        table[name] = {
+            "best_sane_ms": round(best, 2) if best else None,
+            "gflops": round(fl / 1e9, 1) if fl else None,
+            "floor_ms_at_ceiling": round(floor_ms, 2) if floor_ms else None,
+            "x_over_floor": round(best / floor_ms, 2) if best and floor_ms else None,
+        }
+    table["derived"] = {
+        "head_minus_features_ms": (
+            round(results["full"] - results["features"], 2)
+            if results.get("full") and results.get("features") else None
+        ),
+        "ceiling_tflops": args.ceiling_tflops,
+    }
+    print(json.dumps(table), flush=True)
+
+
+if __name__ == "__main__":
+    main()

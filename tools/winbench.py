@@ -38,7 +38,8 @@ def main():
                     help="px jitter around the grid anchor (default radius-1)")
     ap.add_argument("--tiles", nargs="*", default=[],
                     help="per-lq tile overrides, e.g. 2=8,16")
-    ap.add_argument("--dot-mode", default="dq", choices=["dq", "qd"])
+    ap.add_argument("--dot-mode", default="dq",
+                choices=["dq", "qd", "dqp", "stack"])
     ap.add_argument("--debug-stage", default="",
                     help="MSDA_WIN_DEBUG value (set before kernel import)")
     ap.add_argument("--iters", type=int, default=5)
@@ -157,8 +158,18 @@ def main():
     for lq in args.lq:
         Hq, Wq = shapes[lq]
         th, tw = msda_win._tile_shape_for_level(lq, L)
+        s_, e_ = int(lvl_start[lq]), int(lvl_start[lq + 1])
         if th * tw < 16:
-            print(json.dumps({"lq": lq, "skipped": "oracle-routed"}), flush=True)
+            # time the production coarse fallback for this level
+            from codetr_tpu.ops.msda_win import _COARSE_IMPL, _coarse_fallback
+
+            xl, yl, wl = xj[..., s_:e_], yj[..., s_:e_], wj[..., s_:e_]
+            best = time_fn(
+                jax.jit(lambda v, a, b, c: _coarse_fallback(v, shapes, a, b, c)),
+                (value, xl, yl, wl), f"lq{lq}-{_COARSE_IMPL}",
+            )
+            print(json.dumps({"lq": lq, "coarse_impl": _COARSE_IMPL,
+                              "coarse_best_sane_ms": best}), flush=True)
             continue
         s, e = int(lvl_start[lq]), int(lvl_start[lq + 1])
         cl = jax.lax.slice_in_dim(cpk, s, e, axis=1).reshape(1, Hq, Wq, cpk.shape[-1])
