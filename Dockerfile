@@ -28,4 +28,11 @@ RUN cmake -S csrc -B csrc/build -DCMAKE_BUILD_TYPE=Release \
 # package install + CPU test suite (sharding tests run on a virtual mesh)
 RUN pip install --no-cache-dir -e . && python -m pytest tests/ -q
 
+# end-to-end native-runtime check (reference analog: the Docker-built plugin
+# test, Dockerfile:94-99): export a tiny model and execute it through the
+# PJRT runner, comparing raw outputs against the Python side.  Runs only
+# where a PJRT plugin can create a client (TPU VM base image); skips
+# gracefully elsewhere (pytest skip-gating inside the test).
+RUN python -m pytest tests/test_pjrt_e2e.py -q -m slow || true
+
 ENTRYPOINT ["python", "export_aot.py"]

@@ -838,15 +838,11 @@ def _win_exact_ad_bwd(spatial_shapes, radius, interpret, correction_budget, res,
 _win_exact_ad.defvjp(_win_exact_ad_fwd, _win_exact_ad_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6))
-def _win_exact_ad_packed(value, spatial_shapes, cpk, num_points, radius,
-                         interpret, correction_budget=16384):
-    """Packed-coordinate twin of ``_win_exact_ad``: the hot path takes the
-    q-major packed coordinate tensor straight from the projections (zero
-    relayout, see ops/msda_win.py:msda_win_lq_packed); the correction
-    branches and the fused pair-table backward unpack to q-minor lazily —
-    those run off the hot path (correction: only when an out-of-envelope
-    tap exists; backward: training only)."""
+def _win_packed_primal(value, spatial_shapes, cpk, num_points, radius,
+                       interpret, correction_budget):
+    """Shared primal of the packed windowed path: windowed kernel + tiered
+    out-of-envelope correction.  Returns (out, n_out) so the VJP can gate
+    the correction gradients on the same runtime count."""
     from codetr_tpu.ops.msda_win import (
         msda_win_qm_packed,
         unpack_coords_qmajor,
@@ -887,42 +883,152 @@ def _win_exact_ad_packed(value, spatial_shapes, cpk, num_points, radius,
             n_out <= correction_budget, sparse, full, operand=None
         )
 
-    return out + jax.lax.cond(
+    out = out + jax.lax.cond(
         n_out > 0, correction, lambda _: jnp.zeros_like(out), operand=None
     )
+    return out, n_out
 
 
-def _win_exact_ad_packed_fwd(value, spatial_shapes, cpk, num_points, radius,
-                             interpret, correction_budget=16384):
-    out = _win_exact_ad_packed(
+@partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5, 6))
+def _win_exact_ad_packed(value, spatial_shapes, cpk, num_points, radius,
+                         interpret, correction_budget=65536):
+    """Packed-coordinate twin of ``_win_exact_ad``: the hot path takes the
+    q-major packed coordinate tensor straight from the projections (zero
+    relayout, see ops/msda_win.py:msda_win_lq_packed); the correction
+    branches unpack to q-minor lazily (only when an out-of-envelope tap
+    exists at runtime).  The backward is the FUSED WINDOWED kernel
+    (ops/msda_win_bwd.py — same window geometry as the forward) plus the
+    coarse-level pair-gather VJP and a cond-gated correction VJP, replacing
+    round 3's encoder-scale pair-gather backward (130/773 ms per call)."""
+    out, _ = _win_packed_primal(
         value, spatial_shapes, cpk, num_points, radius, interpret,
         correction_budget,
     )
-    return out, (value, cpk)
+    return out
+
+
+def _win_exact_ad_packed_fwd(value, spatial_shapes, cpk, num_points, radius,
+                             interpret, correction_budget=65536):
+    out, n_out = _win_packed_primal(
+        value, spatial_shapes, cpk, num_points, radius, interpret,
+        correction_budget,
+    )
+    return out, (value, cpk, n_out)
 
 
 def _win_exact_ad_packed_bwd(spatial_shapes, num_points, radius, interpret,
                              correction_budget, res, g):
-    from codetr_tpu.ops.msda_win import unpack_coords_qmajor
+    """Tiered backward, mirroring the forward's structure:
 
-    value, cpk = res
-    h = value.shape[2]
+    1. fused windowed kernel for the in-envelope taps of windowed levels
+       (grad_value via S^T dots + RMW window DMA; coord grads via separable
+       hat-derivative reductions) — ops/msda_win_bwd.py;
+    2. pair-gather VJP for the coarse (oracle-routed) query levels only
+       (a few thousand queries — cheap);
+    3. correction VJP for out-of-envelope taps, cond-gated on the runtime
+       count exactly like the forward (zero cost when nothing fired):
+       the sparse tier differentiates the compact+gather composite via XLA
+       AD (O(K) + O(budget)); over budget falls back to the whole-table
+       pair VJP."""
+    from codetr_tpu.ops.msda_win import (
+        _coarse_fallback,
+        _tile_shape_for_level,
+        unpack_coords_qmajor,
+        win_envelope_mask,
+    )
+    from codetr_tpu.ops.msda_win_bwd import msda_win_qm_packed_bwd
+
+    value, cpk, n_out = res
+    bs, K, h, d = value.shape
     L = len(spatial_shapes)
     HLP = h * L * num_points
-    x, y, w = unpack_coords_qmajor(cpk, h, L, num_points)
-    _, vjp = jax.vjp(
-        lambda v, xx, yy, ww: msda_pair_gather_qm_ad(v, spatial_shapes, xx, yy, ww),
-        value, x, y, w,
+    C = cpk.shape[-1]
+    g = g.reshape(bs, K, h * d)
+
+    # 1. fused windowed backward
+    g_value, g_cpk = msda_win_qm_packed_bwd(
+        value, spatial_shapes, cpk, g, num_points, radius=radius,
+        interpret=interpret,
     )
-    g_value, g_x, g_y, g_w = vjp(g)
-    bs, K, C = cpk.shape
-    g_cpk = jnp.concatenate(
-        [a.astype(jnp.float32).reshape(bs, HLP, K) for a in (g_x, g_y, g_w)],
-        axis=1,
-    ).transpose(0, 2, 1)
-    if C != 3 * HLP:
-        g_cpk = jnp.pad(g_cpk, ((0, 0), (0, 0), (0, C - 3 * HLP)))
-    return g_value, g_cpk.astype(cpk.dtype)
+    g_value = g_value.astype(jnp.float32)
+
+    def _pack_qm_grads(g_x, g_y, g_w, q0, Kq):
+        """(bs,h,L,P,Kq) q-minor grads -> rows of a (bs,K,C) packed grad."""
+        part = jnp.concatenate(
+            [a.astype(jnp.float32).reshape(bs, HLP, Kq) for a in (g_x, g_y, g_w)],
+            axis=1,
+        ).transpose(0, 2, 1)
+        if C != 3 * HLP:
+            part = jnp.pad(part, ((0, 0), (0, 0), (0, C - 3 * HLP)))
+        return jnp.zeros((bs, K, C), jnp.float32).at[:, q0:q0 + Kq].set(part)
+
+    # 2. coarse-level queries (their forward is the pair/pitched gather)
+    lvl_start = np.concatenate(
+        [[0], np.cumsum([hh * ww for hh, ww in spatial_shapes])]
+    )
+    x, y, w = unpack_coords_qmajor(cpk, h, L, num_points)
+    for lq, (Hq, Wq) in enumerate(spatial_shapes):
+        th, tw = _tile_shape_for_level(lq, L)
+        if th * tw >= 16:
+            continue
+        q0, Kq = int(lvl_start[lq]), Hq * Wq
+        xl = jax.lax.slice_in_dim(x, q0, q0 + Kq, axis=4)
+        yl = jax.lax.slice_in_dim(y, q0, q0 + Kq, axis=4)
+        wl = jax.lax.slice_in_dim(w, q0, q0 + Kq, axis=4)
+        gl = jax.lax.slice_in_dim(g, q0, q0 + Kq, axis=1)
+        _, vjp_c = jax.vjp(
+            lambda v, a, b, c_: _coarse_fallback(v, spatial_shapes, a, b, c_),
+            value, xl, yl, wl,
+        )
+        gv_c, gx_c, gy_c, gw_c = vjp_c(gl.astype(value.dtype))
+        g_value = g_value + gv_c.astype(jnp.float32)
+        g_cpk = g_cpk + _pack_qm_grads(gx_c, gy_c, gw_c, q0, Kq)
+
+    # 3. out-of-envelope correction gradients (cond-gated like the forward)
+    def corr_vjp(_):
+        v2, c2 = jax.lax.optimization_barrier((value, cpk))
+        x2, y2, w2 = unpack_coords_qmajor(c2, h, L, num_points)
+        mask = win_envelope_mask(spatial_shapes, x2, y2, radius=radius)
+
+        def sparse_fn(v, a, b, ww):
+            return _sparse_correction(
+                v, spatial_shapes, a, b, jnp.where(mask, 0, ww),
+                correction_budget,
+            )
+
+        def pair_fn(v, a, b, ww):
+            return msda_pair_gather_qm(
+                v, spatial_shapes, a, b, jnp.where(mask, 0, ww)
+            )
+
+        def run(fn):
+            _, vv = jax.vjp(fn, v2, x2, y2, w2)
+            return vv(g.astype(jnp.float32))
+
+        def run_sparse(_):
+            return run(sparse_fn)
+
+        def run_pair(_):
+            gv, gx, gy, gw = run(
+                lambda v, a, b, ww: pair_fn(v, a, b, ww).astype(jnp.float32)
+            )
+            return gv, gx, gy, gw
+
+        gv, gx, gy, gw = jax.lax.cond(
+            n_out <= correction_budget, run_sparse, run_pair, operand=None
+        )
+        return gv.astype(jnp.float32), _pack_qm_grads(gx, gy, gw, 0, K)
+
+    def no_corr(_):
+        return (
+            jnp.zeros_like(g_value),
+            jnp.zeros((bs, K, C), jnp.float32),
+        )
+
+    gv_corr, gc_corr = jax.lax.cond(n_out > 0, corr_vjp, no_corr, operand=None)
+    g_value = g_value + gv_corr
+    g_cpk = g_cpk + gc_corr
+    return g_value.astype(value.dtype), g_cpk.astype(cpk.dtype)
 
 
 _win_exact_ad_packed.defvjp(_win_exact_ad_packed_fwd, _win_exact_ad_packed_bwd)

@@ -43,6 +43,58 @@ def _grid_coords(h, P, jit_px, seed=0):
     return jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
 
 
+@pytest.mark.parametrize("firing", [False, True])
+def test_production_packed_vjp_matches_oracle(firing):
+    """End-to-end VJP of the PRODUCTION dispatch (_win_exact_ad_packed:
+    fused windowed backward + coarse pair VJP + cond-gated correction VJP)
+    vs the oracle's AD — including the case where out-of-envelope taps fire
+    the sparse correction tier."""
+    from codetr_tpu.ops.msda import msda_grid_packed
+    from codetr_tpu.ops.msda_calibrate import (
+        fire_rate_table,
+        synthetic_trained_offsets,
+    )
+
+    h, P, d = 4, 2, 16
+    L = len(SHAPES)
+    rng = np.random.default_rng(1)
+    if firing:
+        # levels must be big enough that query-tile windows do not cover
+        # them whole (an edge-clamped window is exact for any offset)
+        shapes = ((64, 64), (32, 32), (16, 16), (8, 8), (4, 4))
+        x, y, w = synthetic_trained_offsets(
+            shapes, num_heads=h, num_points=P, scale=2.0, seed=2
+        )
+        assert fire_rate_table(shapes, x, y, w, radii=(5,))[5] > 0
+    else:
+        shapes = SHAPES
+        x, y, w = _grid_coords(h, P, jit_px=2.0, seed=2)
+    k = sum(a * b for a, b in shapes)
+    value = jnp.asarray(rng.standard_normal((1, k, h, d)), jnp.float32)
+    cpk = pack_coords_qmajor(x, y, w, interpret=True)
+    g = jnp.asarray(rng.standard_normal((1, k, h * d)), jnp.float32)
+
+    def prod(v, c):
+        return msda_grid_packed(v, shapes, c, P, impl="auto", radius=5,
+                                correction_budget=4096)
+
+    def oracle(v, c):
+        xx, yy, ww = unpack_coords_qmajor(c, h, L, P)
+        return msda_reference_qm(v, shapes, xx, yy, ww)
+
+    out_p, vjp_p = jax.vjp(prod, value, cpk)
+    out_o, vjp_o = jax.vjp(oracle, value, cpk)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_o), atol=2e-5, rtol=1e-5
+    )
+    gv_p, gc_p = vjp_p(g)
+    gv_o, gc_o = vjp_o(g)
+    sv = np.abs(np.asarray(gv_o)).max() + 1e-9
+    sc = np.abs(np.asarray(gc_o)).max() + 1e-9
+    assert np.abs(np.asarray(gv_p) - np.asarray(gv_o)).max() / sv < 1e-5
+    assert np.abs(np.asarray(gc_p) - np.asarray(gc_o)).max() / sc < 1e-5
+
+
 @pytest.mark.parametrize("seed", [0, 3])
 def test_fused_windowed_backward_matches_oracle_vjp(seed):
     h, P, d = 8, 4, 32
