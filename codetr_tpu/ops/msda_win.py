@@ -62,6 +62,9 @@ _COARSE_IMPL = _os.environ.get("MSDA_WIN_COARSE", "pair")
 # "auto" (default): splat planes in the value dtype; "f32": force the
 # round-3 f32 splat build (A/B attribution only)
 _SPLAT_DTYPE = _os.environ.get("MSDA_WIN_SPLAT", "auto")
+# max bytes per (chunk, WinW, NQ) f32 splat plane before the expansion is
+# chunked on the window's y axis (see _splat_tile)
+_CHUNK_BYTES = int(_os.environ.get("MSDA_WIN_CHUNK_BYTES", str(1280 * 1024)))
 
 
 def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
@@ -87,15 +90,14 @@ def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
     if lq == 1:
         return (8, 16)
     if lq == 2:
-        # (8,16) exceeds the 16 MB scoped-vmem limit (29.3 MB measured @608
-        # round 4, even with the bf16 splat planes — Mosaic keeps ~7-10
-        # (WinH, WinW, NQ) temporaries live and the stride-16 tile's window
-        # onto the stride-4 level is 44x88 cells); (8,8) tipped 244 KB over
-        # inside the full-model graph at 608x608.  (4,8) fits.  Cost note:
-        # the NQ=32 planes are lane-padded 4x by Mosaic, so lq2 costs far
-        # more than its <5% query share — a known round-4 optimization
-        # target (see ROUND4_NOTES.md).
-        return (4, 8)
+        # (8,16): full 128-lane tiles.  The round-3 (4,8) tile's NQ=32
+        # planes were lane-padded 4x by Mosaic (measured 10.5 ms @1920 —
+        # as much as all of lq1 for <5% of the queries).  The big windows
+        # (44x88 onto the stride-4 level) blow Mosaic's scoped-vmem stack
+        # when each full (WinH, WinW, NQ) S3 plane lives as one SSA value
+        # (29.3 MB measured), so _splat_tile chunks the expansion on the
+        # window's y axis (_CHUNK_BYTES), bounding the live set.
+        return (8, 16)
     if lq == 3:
         return (4, 2)
     return (2, 2)
@@ -256,7 +258,8 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                         preferred_element_type=jnp.float32,
                     )
                 continue
-            S3 = jnp.zeros((WinH, WinW, NQ), sdt)
+            # per-tap SMALL planes first (hats + envelope bookkeeping)...
+            hxs, hys = [], []
             for p in range(P):
                 c = (hh * L + lt) * P + p
                 # window-local pixel coords of this tap (grid_sample
@@ -276,9 +279,57 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                 cnt = cnt + jnp.where(
                     ok, 0.0, (wb[c : c + 1, :] != 0).astype(jnp.float32)
                 )
-                hx = jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xp))  # (WinW, NQ)
-                hy = jnp.maximum(0.0, wp - wp * jnp.abs(ioH - yp))
-                S3 = S3 + hy.astype(sdt)[:, None, :] * hx.astype(sdt)[None, :, :]
+                hxs.append(
+                    jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xp)).astype(sdt)
+                )  # (WinW, NQ)
+                hys.append(
+                    jnp.maximum(0.0, wp - wp * jnp.abs(ioH - yp)).astype(sdt)
+                )  # (WinH, NQ)
+            # ...then the expansion into (ch, WinW, NQ) planes, CHUNKED on
+            # the window's y axis so each broadcast product stays under
+            # ~1.25 MB: Mosaic software-pipelines the per-tap products and
+            # keeps ~7-15 of them live on the scoped-vmem stack regardless
+            # of accumulation order (an explicit scratch accumulator was
+            # tried and changed nothing: 29.65 MB either way at the lq2
+            # (8,16) geometry) — bounding the PLANE size is what bounds the
+            # stack.  The dot is linear in S, so per-chunk dots against the
+            # matching slab rows accumulate exactly.
+            ch_rows = max(1, _CHUNK_BYTES // (WinW * NQ * 4))
+            chunks = (
+                [(0, WinH)] if ch_rows >= WinH or dot_mode in ("stack",)
+                else [
+                    (c0, min(ch_rows, WinH - c0))
+                    for c0 in range(0, WinH, ch_rows)
+                ]
+            )
+            S3 = None
+            for c0, ch in chunks:
+                S3c = jnp.zeros((ch, WinW, NQ), sdt)
+                for p in range(P):
+                    S3c = S3c + hys[p][c0 : c0 + ch][:, None, :] * hxs[p][None, :, :]
+                if len(chunks) == 1:
+                    S3 = S3c
+                    break
+                seg = S3c.reshape(ch * WinW, NQ).astype(vdtype)
+                r0, r1 = c0 * WinW, (c0 + ch) * WinW
+                if dot_mode == "qd":
+                    accs[hh] = accs[hh] + jax.lax.dot_general(
+                        seg, slab[r0:r1, hh * d : (hh + 1) * d],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:  # dq / dqp / debug stages reduce to dq when chunked
+                    lhs = (
+                        slab_t[hh][r0:r1] if dot_mode == "dqp"
+                        else slab[r0:r1, hh * d : (hh + 1) * d]
+                    )
+                    accs[hh] = accs[hh] + jax.lax.dot_general(
+                        lhs, seg,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            if S3 is None:
+                continue  # chunked: dots already accumulated
             if _DEBUG_STAGE == "nodot":
                 accs[hh] = accs[hh] + S3.reshape(cells, NQ).astype(jnp.float32)[
                     : acc_shape[0], :

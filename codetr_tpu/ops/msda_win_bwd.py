@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from codetr_tpu.ops.msda_win import (
+    _CHUNK_BYTES,
     _rup8,
     _win_geometry,
     _win_start_x,
@@ -150,19 +151,22 @@ def msda_win_lq_packed_bwd(
             v_copies[lt].wait()
             g_copies[lt].wait()
             slab = slabs[lt][:].reshape(cells, HD)
-            slab_t = slab.reshape(cells, h, d).transpose(1, 0, 2)  # (h,cells,d)
             gvs = []
             for hh in range(h):
                 g_h = gb[:, hh * d : (hh + 1) * d]  # (NQ, d) f32
                 # M = slab_h @ g_h^T: the "value-times-grad" plane every
-                # coordinate gradient reduces against
+                # coordinate gradient reduces against.  The 32-lane slab
+                # slice matches the forward's dq dot operand (Mosaic rejects
+                # the (cells, HD) -> (cells, h, d) lane-split reshape:
+                # "unsupported shape cast").
                 M = jax.lax.dot_general(
-                    slab_t[hh].astype(jnp.float32), g_h,
+                    slab[:, hh * d : (hh + 1) * d].astype(jnp.float32), g_h,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (cells, NQ)
                 M3 = M.reshape(WinH, WinW, NQ)
-                S3 = jnp.zeros((WinH, WinW, NQ), jnp.float32)
+                # per-tap SMALL planes first...
+                taps = []
                 for p in range(P):
                     c = (hh * L + lt) * P + p
                     xp = xb[c : c + 1, :] * Wt - 0.5 - wx0f  # (1, NQ)
@@ -181,20 +185,47 @@ def msda_win_lq_packed_bwd(
                     # the kinks — same choice XLA's AD makes for |.|)
                     dhx = jnp.where(hx > 0, jnp.sign(ioW - xp), 0.0)
                     dhy = jnp.where(hy0 > 0, jnp.sign(ioH - yp), 0.0)
-                    S3 = S3 + (wp * hy0)[:, None, :] * hx[None, :, :]
-                    A = jnp.sum(M3 * hx[None, :, :], axis=1)  # (WinH, NQ)
-                    Ap = jnp.sum(M3 * dhx[None, :, :], axis=1)
-                    dw = jnp.sum(hy0 * A, axis=0, keepdims=True)  # (1, NQ)
-                    dy = wp * jnp.sum(dhy * A, axis=0, keepdims=True)
-                    dx = wp * jnp.sum(hy0 * Ap, axis=0, keepdims=True)
+                    taps.append((c, okf, wp, hx, hy0, dhx, dhy))
+                # ...then the full-plane work, CHUNKED on the window's y
+                # axis like the forward (same scoped-vmem stack rationale:
+                # Mosaic keeps many pipelined product planes live; bounding
+                # the plane size bounds the stack).  A and Ap row-partition
+                # across chunks; dw/dy/dx accumulate their partial sums.
+                ch_rows = max(1, _CHUNK_BYTES // (WinW * NQ * 4))
+                acc_tap = {t[0]: None for t in taps}  # c -> (dw, dy, dx)
+                gv_parts = []
+                for c0 in range(0, WinH, ch_rows):
+                    ch = min(ch_rows, WinH - c0)
+                    M3c = M3[c0 : c0 + ch]
+                    S3c = jnp.zeros((ch, WinW, NQ), jnp.float32)
+                    for c, okf, wp, hx, hy0, dhx, dhy in taps:
+                        hy0c = hy0[c0 : c0 + ch]
+                        dhyc = dhy[c0 : c0 + ch]
+                        S3c = S3c + (wp * hy0c)[:, None, :] * hx[None, :, :]
+                        A = jnp.sum(M3c * hx[None, :, :], axis=1)  # (ch, NQ)
+                        Ap = jnp.sum(M3c * dhx[None, :, :], axis=1)
+                        dw = jnp.sum(hy0c * A, axis=0, keepdims=True)
+                        dy = wp * jnp.sum(dhyc * A, axis=0, keepdims=True)
+                        dx = wp * jnp.sum(hy0c * Ap, axis=0, keepdims=True)
+                        prev = acc_tap[c]
+                        acc_tap[c] = (
+                            (dw, dy, dx) if prev is None
+                            else (prev[0] + dw, prev[1] + dy, prev[2] + dx)
+                        )
+                    gv_parts.append(jax.lax.dot_general(
+                        S3c.reshape(ch * WinW, NQ), g_h,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ))  # (ch*WinW, d)
+                for c, okf, wp, hx, hy0, dhx, dhy in taps:
+                    dw, dy, dx = acc_tap[c]
                     grow_w[c] = okf * dw
                     grow_y[c] = dy * Ht
                     grow_x[c] = dx * Wt
-                gv = jax.lax.dot_general(
-                    S3.reshape(cells, NQ), g_h,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (cells, d)
+                gv = (
+                    gv_parts[0] if len(gv_parts) == 1
+                    else jnp.concatenate(gv_parts, axis=0)
+                )
                 gvs.append(gv)
             gcat = jnp.concatenate(gvs, axis=1)  # (cells, h*d)
             if HD != h * d:

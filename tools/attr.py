@@ -73,15 +73,20 @@ def main():
     canary()
 
     def timer(fn, fa):
+        # perturb EVERY leaf of the DATA argument (a[1]) — perturbing one
+        # params leaf is not enough: a stage that doesn't consume that
+        # particular weight (e.g. detect vs a backbone kernel) would be
+        # loop-invariant and XLA hoists it, reporting time/iters (observed:
+        # detect printed 101 ms for a real ~405 ms body)
         def loop(n, *a):
             def body(i, c):
-                first = a[0]
-                leaves = jax.tree.leaves(first)
-                leaves[0] = leaves[0] + (c * jnp.float32(1e-30)).astype(
-                    leaves[0].dtype
-                )
-                first = jax.tree.unflatten(jax.tree.structure(first), leaves)
-                o = fn(first, *a[1:])
+                data = a[1]
+                leaves = [
+                    leaf + (c * jnp.float32(1e-30)).astype(leaf.dtype)
+                    for leaf in jax.tree.leaves(data)
+                ]
+                data = jax.tree.unflatten(jax.tree.structure(data), leaves)
+                o = fn(a[0], data, *a[2:])
                 s = jnp.float32(0.0)
                 for leaf in jax.tree.leaves(o):
                     s = s + jnp.sum(leaf.astype(jnp.float32)) * 1e-12

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--full", action="store_true",
                     help="also time the all-levels production entry "
                     "msda_win_qm_packed")
+    ap.add_argument("--module", action="store_true",
+                    help="also time the full MSDA flax module (projections "
+                    "+ coordinate pipeline + dispatch + out proj)")
     ap.add_argument("--verify", action="store_true",
                     help="compare each variant call against the flat-gather "
                     "oracle before timing")
@@ -207,6 +210,39 @@ def main():
 
         best = time_fn(jax.jit(full_call), (value, cpk), "full")
         print(json.dumps({"full_best_sane_ms": best}), flush=True)
+
+    if args.module:
+        # the FULL MSDA flax module (value/offset/attn projections +
+        # q-major coordinate pipeline + production dispatch + out proj):
+        # module-minus-kernel = the per-call glue cost outside the kernel
+        import flax.linen as nn
+
+        from codetr_tpu.config import MSDAConfig
+        from codetr_tpu.models.msda_module import MultiScaleDeformableAttention
+
+        cfg = MSDAConfig(embed_dims=256, num_heads=h, num_levels=L, num_points=P)
+        mod = MultiScaleDeformableAttention(
+            cfg=cfg, dtype=jnp.bfloat16, impl="auto", grid_queries=True,
+        )
+        ref_np = np.zeros((1, K, L, 2), np.float32)
+        q0 = 0
+        for lq, (Hq, Wq) in enumerate(shapes):
+            iy, ix = np.meshgrid(np.arange(Hq), np.arange(Wq), indexing="ij")
+            ref_np[0, q0:q0 + Hq * Wq, :, 0] = ((ix + 0.5) / Wq).reshape(-1)[:, None]
+            ref_np[0, q0:q0 + Hq * Wq, :, 1] = ((iy + 0.5) / Hq).reshape(-1)[:, None]
+            q0 += Hq * Wq
+        ref = jnp.asarray(ref_np)
+        query = jnp.asarray(rng.standard_normal((1, K, 256)) * 0.02, jnp.bfloat16)
+        # no jit: spatial_shapes must stay a static python tuple
+        params = mod.init(
+            jax.random.PRNGKey(0), query, None, None, None, None, ref, shapes
+        )
+
+        def module_call(q, r):
+            return mod.apply(params, q, None, None, None, None, r, shapes)
+
+        best = time_fn(jax.jit(module_call), (query, ref), "module")
+        print(json.dumps({"module_best_sane_ms": best}), flush=True)
 
 
 if __name__ == "__main__":
