@@ -33,14 +33,25 @@ from codetr_tpu.ops.msda import (
 
 def _grid_offset_bias(num_heads: int, num_levels: int, num_points: int) -> np.ndarray:
     """Reference init: unit directions at head angles, scaled by point index
-    (multi_scale_deformable_attention.py:101-111)."""
+    (multi_scale_deformable_attention.py:101-111).
+
+    LAYOUT: this framework's sampling_offsets projection emits the x- and
+    y-offsets DEINTERLEAVED — [all-x (h*L*P) | all-y (h*L*P)] — instead of
+    the reference's interleaved (..., 2) minor axis.  The coordinate pipeline
+    then runs entirely on flat (bs, K, h*L*P) lane-axis tensors: a tensor
+    whose minor dims are (P, 2) tile-pads to (8, 128) on TPU — a 32x memory
+    inflation that made the packed-coordinate build the top non-kernel cost
+    (13.9 ms/call isolated at 1920x1280, tools/encattr.py, round 4).  The
+    checkpoint converter permutes torch's interleaved columns on load
+    (utils/checkpoint.py:_convert_msda)."""
     thetas = np.arange(num_heads, dtype=np.float64) * (2.0 * math.pi / num_heads)
     grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)  # (h, 2)
     grid = grid / np.abs(grid).max(-1, keepdims=True)
     grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
     for i in range(num_points):
         grid[:, :, i, :] *= i + 1
-    return grid.reshape(-1).astype(np.float32)
+    # (h, L, P, 2) -> (2, h, L, P): x-block then y-block
+    return np.moveaxis(grid, -1, 0).reshape(-1).astype(np.float32)
 
 
 class MultiScaleDeformableAttention(nn.Module):
@@ -124,23 +135,37 @@ class MultiScaleDeformableAttention(nn.Module):
             K = num_query
             f32 = jnp.float32
             HLP = h_ * L_ * P_
-            off = raw_offsets.astype(f32).reshape(bs, K, h_, L_, P_, 2)
-            attn = jax.nn.softmax(
-                raw_attn.astype(f32).reshape(bs, K, h_, L_ * P_), axis=-1
-            ).reshape(bs, K, h_, L_, P_)
+            # FLAT coordinate math (round 4): every tensor keeps the large
+            # h*L*P axis minor, so nothing tile-pads.  The projection emits
+            # [x-block | y-block] (see _grid_offset_bias), so x/y are plain
+            # lane slices; the per-lane inverse level norms are compile-time
+            # constants with the same (h, L, P) flat pattern.
+            off = raw_offsets.astype(f32)  # (bs, K, 2*HLP)
+            inv_w = np.tile(
+                np.repeat([1.0 / ww for _, ww in spatial_shapes], P_), h_
+            )
+            inv_h = np.tile(
+                np.repeat([1.0 / hh for hh, _ in spatial_shapes], P_), h_
+            )
+            sxy = jnp.asarray(np.concatenate([inv_w, inv_h]), f32)  # (2*HLP,)
 
             # reference points in q-major layout (bs, K, L, 2)
             assert reference_points.shape == (bs, K, L_, 2), reference_points.shape
-            norm_x = jnp.asarray([ww for _, ww in spatial_shapes], f32)
-            norm_y = jnp.asarray([hh for hh, _ in spatial_shapes], f32)
             ref = reference_points.astype(f32)
-            x = ref[:, :, None, :, None, 0] + off[..., 0] / norm_x[:, None]
-            y = ref[:, :, None, :, None, 1] + off[..., 1] / norm_y[:, None]
-            cpk = jnp.concatenate(
-                [x.reshape(bs, K, HLP), y.reshape(bs, K, HLP),
-                 attn.reshape(bs, K, HLP)],
-                axis=-1,
-            )
+            # (bs, K, L, 2) -> (bs, K, 2*HLP) with the same flat pattern:
+            # per coordinate, per head, L levels each repeated P times
+            ref_rep = jnp.tile(
+                jnp.repeat(
+                    jnp.moveaxis(ref, -1, 2).reshape(bs, K, 2 * L_), P_, axis=-1
+                ).reshape(bs, K, 2, L_ * P_),
+                (1, 1, 1, h_),
+            ).reshape(bs, K, 2 * HLP)
+            xy = ref_rep + off * sxy  # (bs, K, [x(HLP) | y(HLP)])
+
+            attn = jax.nn.softmax(
+                raw_attn.astype(f32).reshape(bs, K, h_, L_ * P_), axis=-1
+            ).reshape(bs, K, HLP)
+            cpk = jnp.concatenate([xy, attn], axis=-1)
             C = -(-3 * HLP // 128) * 128  # Mosaic lane-tile multiple
             if C != 3 * HLP:
                 cpk = jnp.pad(cpk, ((0, 0), (0, 0), (0, C - 3 * HLP)))
@@ -161,8 +186,14 @@ class MultiScaleDeformableAttention(nn.Module):
             h_, L_, P_ = c.num_heads, c.num_levels, c.num_points
             K = num_query
             f32 = jnp.float32
-            off_qm = (
-                raw_offsets.astype(f32).transpose(0, 2, 1).reshape(bs, h_, L_, P_, 2, K)
+            # projection emits [x-block | y-block] (see _grid_offset_bias):
+            # (bs, K, 2*h*L*P) -> q-minor (bs, 2, h, L, P, K) -> (..., 2, K)
+            off_qm = jnp.moveaxis(
+                raw_offsets.astype(f32).transpose(0, 2, 1).reshape(
+                    bs, 2, h_, L_, P_, K
+                ),
+                1,
+                -2,
             )
             attn_qm = raw_attn.astype(f32).transpose(0, 2, 1).reshape(bs, h_, L_ * P_, K)
             attn_qm = jax.nn.softmax(attn_qm, axis=2).reshape(bs, h_, L_, P_, K)
@@ -185,8 +216,14 @@ class MultiScaleDeformableAttention(nn.Module):
             out = dense(c.embed_dims, "output_proj")(out)
             return out + identity
 
-        offsets = raw_offsets.reshape(
-            bs, num_query, c.num_heads, c.num_levels, c.num_points, 2
+        # deinterleaved [x | y] projection layout -> (..., 2) minor (the
+        # decoder's 900 queries make this transpose negligible)
+        offsets = jnp.moveaxis(
+            raw_offsets.reshape(
+                bs, num_query, 2, c.num_heads, c.num_levels, c.num_points
+            ),
+            2,
+            -1,
         )
         attn = raw_attn.reshape(bs, num_query, c.num_heads, c.num_levels * c.num_points)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)

@@ -150,7 +150,9 @@ def synthetic_trained_offsets(
     K = sum(hh * ww for hh, ww in spatial_shapes)
     h, P = num_heads, num_points
     rng = np.random.default_rng(seed)
-    bias = _grid_offset_bias(h, L, P).reshape(h, L, P, 2)
+    # _grid_offset_bias emits the deinterleaved [x | y] projection layout;
+    # recover the (h, L, P, 2) view for the anchor math here
+    bias = np.moveaxis(_grid_offset_bias(h, L, P).reshape(2, h, L, P), 0, -1)
 
     x = np.zeros((batch, h, L, P, K), np.float32)
     y = np.zeros_like(x)

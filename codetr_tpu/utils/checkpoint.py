@@ -127,8 +127,18 @@ def swin_original_to_mmdet(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def _convert_msda(tree: _ParamTree, sd, src: str, dst: str):
     for name in ("sampling_offsets", "attention_weights", "value_proj", "output_proj"):
-        tree.put(f"{dst}/{name}/kernel", _t(sd[f"{src}.{name}.weight"]))
-        tree.put(f"{dst}/{name}/bias", sd[f"{src}.{name}.bias"])
+        k = _t(sd[f"{src}.{name}.weight"])
+        b = np.asarray(sd[f"{src}.{name}.bias"])
+        if name == "sampling_offsets":
+            # torch emits (h, L, P, 2)-interleaved xy offsets; this
+            # framework's projection layout is deinterleaved
+            # [x-block | y-block] (models/msda_module.py:_grid_offset_bias,
+            # keeps the packed-coordinate pipeline in flat lane-axis ops).
+            # The permutation is simply [even cols | odd cols].
+            k = np.concatenate([k[:, 0::2], k[:, 1::2]], axis=1)
+            b = np.concatenate([b[0::2], b[1::2]])
+        tree.put(f"{dst}/{name}/kernel", k)
+        tree.put(f"{dst}/{name}/bias", b)
 
 
 def _convert_ln(tree: _ParamTree, sd, src: str, dst: str):
