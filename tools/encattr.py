@@ -128,25 +128,30 @@ def main():
 
         results["proj"] = time_fn(jax.jit(f_proj), (query,), "proj")
 
-    # --- coord: packed pipeline from raw projections to cpk ---
+    # --- coord: packed pipeline from raw projections to cpk (round-4 flat
+    # [x|y] deinterleaved layout, mirrors msda_module.py) ---
     raw_off = jnp.asarray(rng.standard_normal((1, K, h * L * P * 2)), dtype)
     raw_attn = jnp.asarray(rng.standard_normal((1, K, h * L * P)), dtype)
     ref = jnp.asarray(rng.uniform(0.05, 0.95, (1, K, L, 2)), jnp.float32)
     if want("coord"):
         HLP = h * L * P
-        norm_x = jnp.asarray([ww for _, ww in shapes], jnp.float32)
-        norm_y = jnp.asarray([hh for hh, _ in shapes], jnp.float32)
+        inv_w = np.tile(np.repeat([1.0 / ww for _, ww in shapes], P), h)
+        inv_h = np.tile(np.repeat([1.0 / hh for hh, _ in shapes], P), h)
+        sxy = jnp.asarray(np.concatenate([inv_w, inv_h]), jnp.float32)
 
         def f_coord(ro, ra, rf):
-            off = ro.astype(jnp.float32).reshape(1, K, h, L, P, 2)
+            off = ro.astype(jnp.float32)
+            ref_rep = jnp.tile(
+                jnp.repeat(
+                    jnp.moveaxis(rf, -1, 2).reshape(1, K, 2 * L), P, axis=-1
+                ).reshape(1, K, 2, L * P),
+                (1, 1, 1, h),
+            ).reshape(1, K, 2 * HLP)
+            xy = ref_rep + off * sxy
             attn = jax.nn.softmax(
                 ra.astype(jnp.float32).reshape(1, K, h, L * P), axis=-1
-            ).reshape(1, K, h, L, P)
-            x = rf[:, :, None, :, None, 0] + off[..., 0] / norm_x[:, None]
-            y = rf[:, :, None, :, None, 1] + off[..., 1] / norm_y[:, None]
-            cpk = jnp.concatenate(
-                [x.reshape(1, K, HLP), y.reshape(1, K, HLP),
-                 attn.reshape(1, K, HLP)], axis=-1)
+            ).reshape(1, K, HLP)
+            cpk = jnp.concatenate([xy, attn], axis=-1)
             Cp = -(-3 * HLP // 128) * 128
             if Cp != 3 * HLP:
                 cpk = jnp.pad(cpk, ((0, 0), (0, 0), (0, Cp - 3 * HLP)))
@@ -154,6 +159,28 @@ def main():
 
         results["coord"] = time_fn(
             jax.jit(f_coord), (raw_off, raw_attn, ref), "coord")
+
+    # --- emsda: FULL encoder MSDA module (vp+proj+coord+kernel+outp), with
+    # REAL encoder grid reference points (random refs would push every tap
+    # out of the window envelope and time the correction tier instead) ---
+    if want("emsda"):
+        from codetr_tpu.models.transformer import get_reference_points
+
+        cfg = MSDAConfig(embed_dims=C, num_heads=h, num_levels=L, num_points=P)
+        emod = MultiScaleDeformableAttention(
+            cfg=cfg, dtype=dtype, impl="auto", grid_queries=True)
+        eref = jnp.broadcast_to(
+            get_reference_points(shapes, jnp.ones((1, L, 2)))[:, :, None, :],
+            (1, K, L, 2),
+        )
+        pem = emod.init(jax.random.PRNGKey(12), query, query, None, None,
+                        None, eref, shapes)
+
+        def f_emsda(q, rf):
+            return emod.apply(pem, q, q, None, None, None, rf, shapes)
+
+        results["emsda"] = time_fn(
+            jax.jit(f_emsda), (query, eref), "emsda")
 
     # --- outp: output projection + residual ---
     if want("outp"):
