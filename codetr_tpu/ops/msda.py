@@ -997,8 +997,15 @@ def _win_exact_ad_packed_bwd(spatial_shapes, num_points, radius, interpret,
             )
 
         def pair_fn(v, a, b, ww):
+            # q_chunk=1024: XLA statically allocates this branch's AD
+            # buffers even when the branch never executes — at the default
+            # 8192 chunk the jvp materializes four (4,bs,h,L,P,qc,d) f32
+            # temporaries that pad 4x on the d=32 lane axis (4 x 2.5 GB at
+            # 608-encoder shapes, observed OOMing the train step at 19.4 GB
+            # HBM).  1024 bounds the dead reservation to ~320 MB; the tier
+            # only runs for pathological over-budget checkpoints anyway.
             return msda_pair_gather_qm(
-                v, spatial_shapes, a, b, jnp.where(mask, 0, ww)
+                v, spatial_shapes, a, b, jnp.where(mask, 0, ww), q_chunk=1024
             )
 
         def run(fn):

@@ -65,6 +65,16 @@ _SPLAT_DTYPE = _os.environ.get("MSDA_WIN_SPLAT", "auto")
 # max bytes per (chunk, WinW, NQ) f32 splat plane before the expansion is
 # chunked on the window's y axis (see _splat_tile)
 _CHUNK_BYTES = int(_os.environ.get("MSDA_WIN_CHUNK_BYTES", str(1280 * 1024)))
+# Mosaic scoped-vmem limit for the kernel compiles.  XLA's default scoped
+# limit is 16 MB — that limit (not physical VMEM, 128 MB on v5e) is what
+# sized the round-3/4 tile shapes and OOM'd the f32 path at 608 by 92 KB.
+# Raising it trades double-buffer headroom for bigger live sets; 64 MB
+# compiles every production geometry with room to spare.
+_VMEM_LIMIT = int(_os.environ.get("MSDA_WIN_VMEM_MB", "64")) * 2**20
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
@@ -199,6 +209,13 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
         sdt = vdtype if (vdtype == jnp.bfloat16 and NQ % 128 == 0) else jnp.float32
     else:
         sdt = jnp.float32
+    # MXU dot precision: DEFAULT on TPU runs ONE bf16 pass even for f32
+    # operands — fine for bf16 models (operands are exact bf16), but the
+    # f32 path (gradchecks, impl-parity gates on chip) then deviates from
+    # the oracle by ~3e-3 (measured: trainbench --gradcheck out_max_err).
+    # HIGHEST splits f32 mantissas into multiple bf16 passes for exact-f32
+    # dots; bf16 operands need no splitting, so production cost is unchanged.
+    prec = jax.lax.Precision.HIGHEST if vdtype == jnp.float32 else None
     acc_shape = (NQ, d) if dot_mode == "qd" else (d, NQ)
     accs = [jnp.zeros(acc_shape, jnp.float32) for _ in range(h)]
     cnt = jnp.zeros((1, NQ), jnp.float32)
@@ -256,6 +273,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                         S3.reshape(cells, NQ).astype(vdtype),
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     )
                 continue
             # per-tap SMALL planes first (hats + envelope bookkeeping)...
@@ -317,6 +335,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                         seg, slab[r0:r1, hh * d : (hh + 1) * d],
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     )
                 else:  # dq / dqp / debug stages reduce to dq when chunked
                     lhs = (
@@ -327,6 +346,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                         lhs, seg,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     )
             if S3 is None:
                 continue  # chunked: dots already accumulated
@@ -344,6 +364,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     S3.reshape(cells, NQ).astype(vdtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                        precision=prec,
                 )  # (HD, NQ)
                 accs[hh] = accs[hh] + full[hh * d : (hh + 1) * d, :]
             elif dot_mode == "stack":
@@ -354,6 +375,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     S3.reshape(cells, NQ).astype(vdtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                        precision=prec,
                 )
             elif dot_mode == "dq":
                 accs[hh] = accs[hh] + jax.lax.dot_general(
@@ -361,6 +383,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     S3.reshape(cells, NQ).astype(vdtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                        precision=prec,
                 )
             else:
                 accs[hh] = accs[hh] + jax.lax.dot_general(
@@ -368,6 +391,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     slab[:, hh * d : (hh + 1) * d],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                        precision=prec,
                 )
         if dot_mode == "stack":
             # ONE MXU dot per level: (cells, HD)^T-contract-(cells, h*NQ);
@@ -379,6 +403,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                 slab, S_big,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                        precision=prec,
             )  # (HD, h*NQ)
             for hh in range(h):
                 accs[hh] = accs[hh] + full[
@@ -539,6 +564,7 @@ def msda_win_lq(
         ],
         scratch_shapes=[pltpu.VMEM((wh, ww, HD), vdtype) for wh, ww in win]
         + [pltpu.SemaphoreType.DMA((L,))],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(xt, yt, wt, *value_lvls)
 
@@ -648,6 +674,7 @@ def msda_win_lq_packed(
         ],
         scratch_shapes=[pltpu.VMEM((wh, ww, HD), vdtype) for wh, ww in win]
         + [pltpu.SemaphoreType.DMA((L,))],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(cpk_lq, *value_lvls)
 

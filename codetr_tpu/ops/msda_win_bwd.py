@@ -42,6 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from codetr_tpu.ops.msda_win import (
     _CHUNK_BYTES,
+    _compiler_params,
     _rup8,
     _win_geometry,
     _win_start_x,
@@ -127,6 +128,15 @@ def msda_win_lq_packed_bwd(
         yb = cb[HLP : 2 * HLP]
         wb = cb[2 * HLP : 3 * HLP]
         gb = gref[0].reshape(NQ, HD)  # (NQ, HD) f32
+        # MXU precision (see _splat_tile): bf16 models dot bf16 operands
+        # (exact single pass, f32 accumulation); f32 models need HIGHEST or
+        # the M-plane picks up ~4e-3 bf16-pass error that the cancelling
+        # hat-derivative reductions amplify ~50x in grad_coords (measured
+        # 0.197 rel on chip vs the oracle before this).
+        if vdtype == jnp.float32:
+            mdt, prec = jnp.float32, jax.lax.Precision.HIGHEST
+        else:
+            mdt, prec = vdtype, None
 
         grow_x = {}
         grow_y = {}
@@ -160,9 +170,11 @@ def msda_win_lq_packed_bwd(
                 # the (cells, HD) -> (cells, h, d) lane-split reshape:
                 # "unsupported shape cast").
                 M = jax.lax.dot_general(
-                    slab[:, hh * d : (hh + 1) * d].astype(jnp.float32), g_h,
+                    slab[:, hh * d : (hh + 1) * d].astype(mdt),
+                    g_h.astype(mdt),
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=prec,
                 )  # (cells, NQ)
                 M3 = M.reshape(WinH, WinW, NQ)
                 # per-tap SMALL planes first...
@@ -213,9 +225,11 @@ def msda_win_lq_packed_bwd(
                             else (prev[0] + dw, prev[1] + dy, prev[2] + dx)
                         )
                     gv_parts.append(jax.lax.dot_general(
-                        S3c.reshape(ch * WinW, NQ), g_h,
+                        S3c.reshape(ch * WinW, NQ).astype(mdt),
+                        g_h.astype(mdt),
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=prec,
                     ))  # (ch*WinW, d)
                 for c, okf, wp, hx, hy0, dhx, dhy in taps:
                     dw, dy, dx = acc_tap[c]
@@ -280,6 +294,7 @@ def msda_win_lq_packed_bwd(
         + [pltpu.VMEM((wh, ww, HD), jnp.float32) for wh, ww in win]
         + [pltpu.SemaphoreType.DMA((3 * n_lv,))],
         input_output_aliases={2 + n_lv + i: i for i in range(n_lv)},
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(cpk_lq, g_lq, *value_lvls, *gval_lvls)
     gval_out = list(outs[:n_lv])

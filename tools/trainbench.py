@@ -34,7 +34,14 @@ def main():
     ap.add_argument("--trials", type=int, default=6)
     ap.add_argument("--gradcheck", action="store_true",
                     help="on-chip production-packed-VJP vs oracle-AD check "
-                    "at 608-encoder shapes before timing")
+                    "before timing")
+    ap.add_argument("--gradcheck-only", action="store_true",
+                    help="exit after the gradcheck (skip the timing stages)")
+    ap.add_argument("--gradcheck-hw", type=int, default=320,
+                    help="square resolution for the gradcheck's encoder "
+                    "shapes (the flat-gather oracle's AD materializes "
+                    "4 rows/tap — at 608 that exhausts HBM; 320 keeps the "
+                    "same Mosaic lowering at ~1/4 the taps)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +67,8 @@ def main():
         )
 
         strides = (4, 8, 16, 32, 64)
-        shapes = tuple((-(-H // s), -(-W // s)) for s in strides)
+        GH = GW = args.gradcheck_hw
+        shapes = tuple((-(-GH // s), -(-GW // s)) for s in strides)
         K = sum(hh * ww for hh, ww in shapes)
         h, P, d, L = 8, 4, 32, len(shapes)
         rng = np.random.default_rng(0)
@@ -108,6 +116,8 @@ def main():
             "grad_coords_rel": ec,
             "pass": bool(err_out < 2e-4 and ev < 1e-4 and ec < 1e-4),
         }}), flush=True)
+        if args.gradcheck_only:
+            return
 
     dtype = jnp.bfloat16
     model, params = build_codetr(
