@@ -189,74 +189,36 @@ def hunt_sane_window(run_block, canary, *, seconds: float, max_rounds: int,
     return rounds
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    # default = the BASELINE.json north-star config (beat 79.5 ms TRT-FP16
-    # at 1920x1280 on one v5e chip)
-    ap.add_argument("--width", type=int, default=1920)
-    ap.add_argument("--height", type=int, default=1280)
-    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--iterations", type=int, default=10)
-    ap.add_argument("--batch-size", type=int, default=1,
-                    help="batched-eval config (BASELINE configs[4]); the "
-                    "headline stays ms/IMAGE")
-    ap.add_argument("--msda-impl", default="auto")
-    ap.add_argument("--split", action="store_true",
-                    help="compile backbone|head as separate executables and "
-                    "time chained dispatches (needed for graphs that exceed "
-                    "the remote AOT transport, e.g. the opt-in Pallas paths; "
-                    "the default monolithic graph is timed with an on-device "
-                    "loop, which a split model cannot be)")
-    ap.add_argument("--verify", action="store_true",
-                    help="before timing, assert the compiled Pallas MSDA "
-                    "kernel matches the flat-gather oracle ON THIS CHIP at "
-                    "the bench's encoder shapes")
-    ap.add_argument("--hunt-seconds", type=float, default=600.0,
-                    help="time budget for the sane-window hunt (alternating "
-                    "canary probes and short model blocks)")
-    ap.add_argument("--max-rounds", type=int, default=40)
-    args = ap.parse_args()
-
+def measure_config(*, family: str, width: int, height: int, dtype_str: str,
+                   batch_size: int, iterations: int, msda_impl: str,
+                   hunt_seconds: float, max_rounds: int, split: bool = False,
+                   note: str = None) -> dict:
+    """Build + AOT-compile one BASELINE config and hunt a sane-window raw
+    latency for it.  Returns the per-config result dict (the same taxonomy
+    the round-4 single-config bench published: raw numbers only, with the
+    full per-round canary audit trail)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from codetr_tpu.config import co_dino_swin_l
+    from codetr_tpu.config import co_dino_r50, co_dino_swin_l
     from codetr_tpu.models.codetr import build_codetr
     from codetr_tpu.runtime.aot import compile_forward, make_loop_timer
 
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-
-    if args.verify:
-        verify_pallas_on_chip(args.height, args.width, dtype)
-
-    canary = measure_canary()
-    print(
-        json.dumps(
-            {"canary_ms": {k: round(v, 2) for k, v in canary.items()},
-             "healthy_ms": CANARY_HEALTHY_MS,
-             "note": "environment health reference: values >> healthy indicate "
-                     "a degraded/time-shared chip inflating the headline metric"}
-        ),
-        file=sys.stderr,
-    )
-
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    cfg = co_dino_swin_l() if family == "swin-l" else co_dino_r50()
     model, params = build_codetr(
-        co_dino_swin_l(),
-        dtype=dtype,
-        msda_impl=args.msda_impl,
-        input_shape=(args.height, args.width),
-        batch_size=args.batch_size,
+        cfg, dtype=dtype, msda_impl=msda_impl,
+        input_shape=(height, width), batch_size=batch_size,
     )
     fn, example = compile_forward(
-        model, params, height=args.height, width=args.width, dtype=dtype,
-        split=args.split, batch_size=args.batch_size,
+        model, params, height=height, width=width, dtype=dtype,
+        split=split, batch_size=batch_size,
     )
     # the remote compile transport is flaky under load (broken pipe /
     # truncated response observed); failed compiles are not cached, so a
     # retry re-runs them cleanly
     import time as _time
-
-    import numpy as np
 
     last = None
     for attempt in range(4):
@@ -277,14 +239,14 @@ def main():
     run_block(1)  # warm the loop graph
     rounds = hunt_sane_window(
         run_block, canary_probe,
-        seconds=args.hunt_seconds, max_rounds=args.max_rounds,
-        iters_per_block=max(1, args.iterations // 5),
+        seconds=hunt_seconds, max_rounds=max_rounds,
+        iters_per_block=max(1, iterations // 5),
     )
     cans = np.asarray([c for c, _ in rounds])
     blocks = np.asarray([b for _, b in rounds])
 
-    base = TRT_BASELINE_MS.get((args.width, args.height))
-    bs_tag = f" bs{args.batch_size}" if args.batch_size != 1 else ""
+    base = TRT_BASELINE_MS.get((width, height)) if family == "swin-l" else None
+    bs_tag = f" bs{batch_size}" if batch_size != 1 else ""
     healthy = CANARY_HEALTHY_MS["900q"]
     sane = cans <= 3.0 * healthy
     # RAW numbers only, trtexec-style taxonomy (reference README.md:226-245).
@@ -292,32 +254,33 @@ def main():
     # from the best canary-sane round — still a raw, uncorrected device
     # measurement, taken in a window the canary certifies as sane.
     if np.median(cans) <= 2.0 * healthy:
-        value = float(np.percentile(blocks, 50)) / args.batch_size
+        value = float(np.percentile(blocks, 50)) / batch_size
         mode = "p50"
     elif sane.any():
         k = int(np.flatnonzero(sane)[np.argmin(blocks[sane])])
-        value = float(blocks[k]) / args.batch_size
+        value = float(blocks[k]) / batch_size
         mode = "sane-window raw (canary %.1f ms that round)" % float(cans[k])
     else:
-        value = float(np.percentile(blocks, 50)) / args.batch_size
+        value = float(np.percentile(blocks, 50)) / batch_size
         mode = "p50 (DEGRADED: no sane window found)"
     result = {
-        "metric": f"swin-l {args.width}x{args.height} {args.dtype}{bs_tag} device latency",
+        "metric": f"{family} {width}x{height} {dtype_str}{bs_tag} device latency",
         "value": round(value, 2),
         "unit": "ms/image",
         "vs_baseline": round(base / value, 3) if base else None,
         "measurement_mode": mode,
-        "p50_ms": round(float(np.percentile(blocks, 50)) / args.batch_size, 2),
-        "p95_ms": round(float(np.percentile(blocks, 95)) / args.batch_size, 2),
-        "min_ms": round(float(blocks.min()) / args.batch_size, 2),
+        "p50_ms": round(float(np.percentile(blocks, 50)) / batch_size, 2),
+        "p95_ms": round(float(np.percentile(blocks, 95)) / batch_size, 2),
+        "min_ms": round(float(blocks.min()) / batch_size, 2),
         "rounds": len(rounds),
         # per-round [canary_ms, block_ms_per_iter] pairs: the full audit
         # trail (healthy canary = 3.3; canary >> healthy means that round's
         # block ran on a degraded/time-shared chip)
         "hunt_rounds": [[round(float(c), 1), round(float(b), 2)] for c, b in rounds],
-        "canary_ms": {k: round(v, 2) for k, v in canary.items()},
         "canary_healthy_ms": CANARY_HEALTHY_MS,
     }
+    if note:
+        result["note"] = note
     if not sane.any():
         # ESTIMATE ONLY, never the headline (round-2 record: ~2x error bars)
         dilation = float(np.median(cans)) / healthy
@@ -327,6 +290,110 @@ def main():
             "~2x error bars (ROUND2_NOTES.md) and must not be read as a "
             "benchmark result" % dilation
         )
+    return result
+
+
+# The five BASELINE.json configs (VERDICT round-4 item 3: publish the full
+# matrix every round).  fp16 on the reference maps to bfloat16 on TPU; the
+# serialized-executable flagship (configs[3]) is the jit-AOT path the
+# save->reload->drift-0 parity was proven on (PARITY.md).  Config[4]'s
+# batched serving pads short batches by repeating the last image
+# (codetr_tpu/inferencer.py) — the ragged-tail caveat below keeps the
+# throughput record honest.
+MATRIX = [
+    dict(family="r50", width=608, height=608, dtype_str="float32", batch_size=1,
+         note="BASELINE configs[0]: R50 5-scale 608x608 fp32"),
+    dict(family="r50", width=1152, height=768, dtype_str="bfloat16", batch_size=1,
+         note="BASELINE configs[1]: R50 LSJ 1152x768 bf16"),
+    dict(family="swin-l", width=608, height=608, dtype_str="bfloat16", batch_size=1,
+         note="BASELINE configs[2]: Swin-L 608x608 AOT"),
+    dict(family="swin-l", width=1920, height=1280, dtype_str="bfloat16", batch_size=1,
+         note="BASELINE configs[3]: Swin-L 1920x1280 serialized-executable "
+              "path (north star; the jit-AOT executable PARITY.md proved "
+              "save->reload drift-0 on)"),
+    dict(family="swin-l", width=1152, height=768, dtype_str="bfloat16", batch_size=4,
+         note="BASELINE configs[4]: Swin-L bs=4 padded static shapes; "
+              "serving pads ragged tails by repeating the last image, so "
+              "ms/image counts padded lanes as real images"),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    # default = the full 5-config BASELINE matrix, headlined by the
+    # north-star config (beat 79.5 ms TRT-FP16 at 1920x1280 on one v5e chip)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1280)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--iterations", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=1,
+                    help="batched-eval config (BASELINE configs[4]); the "
+                    "headline stays ms/IMAGE")
+    ap.add_argument("--msda-impl", default="auto")
+    ap.add_argument("--single", action="store_true",
+                    help="bench only the config given by --width/--height/"
+                    "--dtype/--batch-size instead of the 5-config matrix")
+    ap.add_argument("--split", action="store_true",
+                    help="compile backbone|head as separate executables and "
+                    "time chained dispatches (needed for graphs that exceed "
+                    "the remote AOT transport, e.g. the opt-in Pallas paths; "
+                    "the default monolithic graph is timed with an on-device "
+                    "loop, which a split model cannot be)")
+    ap.add_argument("--verify", action="store_true",
+                    help="before timing, assert the compiled Pallas MSDA "
+                    "kernel matches the flat-gather oracle ON THIS CHIP at "
+                    "the bench's encoder shapes")
+    ap.add_argument("--hunt-seconds", type=float, default=240.0,
+                    help="per-config time budget for the sane-window hunt "
+                    "(the flagship gets 2x this)")
+    ap.add_argument("--max-rounds", type=int, default=40)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.verify:
+        verify_pallas_on_chip(args.height, args.width, dtype)
+
+    canary = measure_canary()
+    print(
+        json.dumps(
+            {"canary_ms": {k: round(v, 2) for k, v in canary.items()},
+             "healthy_ms": CANARY_HEALTHY_MS,
+             "note": "environment health reference: values >> healthy indicate "
+                     "a degraded/time-shared chip inflating the headline metric"}
+        ),
+        file=sys.stderr,
+    )
+
+    common = dict(iterations=args.iterations, msda_impl=args.msda_impl,
+                  max_rounds=args.max_rounds, split=args.split)
+    if args.single:
+        result = measure_config(
+            family="swin-l", width=args.width, height=args.height,
+            dtype_str=args.dtype, batch_size=args.batch_size,
+            hunt_seconds=args.hunt_seconds * 2, **common,
+        )
+        result["canary_ms"] = {k: round(v, 2) for k, v in canary.items()}
+        print(json.dumps(result))
+        return
+
+    matrix = []
+    headline = None
+    for spec in MATRIX:
+        flagship = spec["width"] == 1920
+        entry = measure_config(
+            **spec, hunt_seconds=args.hunt_seconds * (2 if flagship else 1),
+            **common,
+        )
+        print(json.dumps(entry), file=sys.stderr)  # progress, per config
+        matrix.append(entry)
+        if flagship:
+            headline = entry
+    result = dict(headline)
+    result["canary_ms"] = {k: round(v, 2) for k, v in canary.items()}
+    result["matrix"] = matrix
     print(json.dumps(result))
 
 

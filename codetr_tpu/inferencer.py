@@ -83,6 +83,7 @@ class Inferencer:
         classes: Sequence[str] = COCO_CLASSES,
         compiled_fn=None,
         input_dtype=jnp.float32,
+        device_preprocess: bool = False,
     ):
         self.cfg = cfg
         self.height = height
@@ -102,9 +103,26 @@ class Inferencer:
         self.classes = list(classes)
         # serialized executables have FIXED input dtypes (engine semantics)
         self.input_dtype = input_dtype
+        # fused-serving mode: the compiled graph starts with
+        # preprocess_in_graph and takes (uint8 canvas, (th, tw)); the host
+        # only cv2-resizes (utils/preprocess.resize_to_canvas).  A
+        # compiled_fn passed in must have been built with
+        # compile_forward(..., fuse_preprocess=True) / the matching export.
+        self.device_preprocess = device_preprocess
 
         if compiled_fn is None:
-            fwd = lambda inputs, masks: model.apply(params, inputs, masks)
+            if device_preprocess:
+                from codetr_tpu.utils.preprocess import preprocess_in_graph
+
+                mean = tuple(cfg.preprocess.mean)
+                std = tuple(cfg.preprocess.std)
+
+                def fwd(canvas, thw):
+                    x, m = preprocess_in_graph(canvas, thw, mean=mean, std=std)
+                    return model.apply(params, x.astype(input_dtype), m)
+
+            else:
+                fwd = lambda inputs, masks: model.apply(params, inputs, masks)
             compiled_fn = jax.jit(fwd)
         self._fwd = compiled_fn
 
@@ -123,10 +141,20 @@ class Inferencer:
     def __call__(self, images: Sequence[np.ndarray]) -> List[Detections]:
         """images: list of (H, W, 3) RGB uint8 arrays (any count)."""
         bs = self.batch_size
-        pre = [
-            preprocess_numpy(im, self.height, self.width, self.cfg.preprocess)
-            for im in images
-        ]
+        if self.device_preprocess:
+            from codetr_tpu.utils.preprocess import resize_to_canvas
+
+            # host work is the cv2 resize only; normalize+pad+mask run
+            # inside the compiled graph (3 uint8 bytes/px cross the PCIe
+            # link instead of 12-16 float bytes)
+            pre = [
+                resize_to_canvas(im, self.height, self.width) for im in images
+            ]
+        else:
+            pre = [
+                preprocess_numpy(im, self.height, self.width, self.cfg.preprocess)
+                for im in images
+            ]
         # dispatch ALL batches asynchronously (jax dispatch is async; nothing
         # blocks until np.asarray below), then collect — the per-dispatch
         # host<->device overhead overlaps with device compute
@@ -135,14 +163,23 @@ class Inferencer:
             chunk = pre[i : i + bs]
             n = len(chunk)
             chunk = chunk + [chunk[-1]] * (bs - n)  # pad by repeating
-            inputs = np.stack([c[0] for c in chunk])
-            masks = np.stack([c[1] for c in chunk])
-            boxes, scores, labels = self._fwd(
-                jnp.asarray(inputs, self.input_dtype),
-                jnp.asarray(masks, jnp.float32),
-            )
+            if self.device_preprocess:
+                canvas = np.stack([c[0] for c in chunk])
+                thw = np.asarray([c[1] for c in chunk], np.int32)
+                boxes, scores, labels = self._fwd(
+                    jnp.asarray(canvas), jnp.asarray(thw)
+                )
+                sfs = [c[2] for c in chunk]
+            else:
+                inputs = np.stack([c[0] for c in chunk])
+                masks = np.stack([c[1] for c in chunk])
+                boxes, scores, labels = self._fwd(
+                    jnp.asarray(inputs, self.input_dtype),
+                    jnp.asarray(masks, jnp.float32),
+                )
+                sfs = [c[2] for c in chunk]
             sf = np.asarray(
-                [[c[2][0], c[2][1], c[2][0], c[2][1]] for c in chunk], np.float32
+                [[s[0], s[1], s[0], s[1]] for s in sfs], np.float32
             )[:, None, :]
             pending.append((n, self._post(boxes, scores, labels, jnp.asarray(sf))))
 

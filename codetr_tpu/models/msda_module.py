@@ -165,6 +165,9 @@ class MultiScaleDeformableAttention(nn.Module):
             attn = jax.nn.softmax(
                 raw_attn.astype(f32).reshape(bs, K, h_, L_ * P_), axis=-1
             ).reshape(bs, K, HLP)
+            # calibration capture (ops/msda_calibrate.calibrate_model):
+            # inert unless apply() passes mutable=["intermediates"]
+            self.sow("intermediates", "sampling_coords", (xy, attn))
             cpk = jnp.concatenate([xy, attn], axis=-1)
             C = -(-3 * HLP // 128) * 128  # Mosaic lane-tile multiple
             if C != 3 * HLP:

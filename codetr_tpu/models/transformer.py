@@ -243,7 +243,10 @@ class DinoTransformerDecoder(nn.Module):
 
         ScanDecoder = nn.scan(
             DetrTransformerDecoderLayer,
-            variable_axes={"params": 0},
+            # "intermediates" rides the scan axis so MSDA sampling-coord
+            # captures (calibration, ops/msda_calibrate.calibrate_model)
+            # stack per-layer; inert unless apply() makes it mutable
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             length=c.num_decoder_layers,
@@ -324,7 +327,7 @@ class CoDinoTransformer(nn.Module):
         # Pallas-heavy body compiles once, not six times)
         ScanEncoder = nn.scan(
             DetrTransformerEncoderLayer,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=c.num_encoder_layers,

@@ -127,6 +127,63 @@ def suggest_correction(
     )
 
 
+def calibrate_model(
+    model,
+    params,
+    batch_inputs,
+    img_masks,
+    *,
+    radii: Sequence[int] = (3, 4, 5, 6, 8),
+    safety: float = 4.0,
+) -> CorrectionPlan:
+    """Checkpoint-day calibration: run the REAL model on a calibration batch,
+    capture the encoder MSDA sampling coordinates every layer actually
+    produces (flax ``sow`` in models/msda_module.py, stacked across the
+    scanned encoder layers), and size (grid_radius, correction_budget) from
+    their measured fire rates.  This is the step the reference has no analog
+    for — its CUDA kernel gathers anywhere, while the windowed kernel's
+    exactness tiers must be provisioned for the checkpoint's offset range
+    (ROUND4_NOTES.md fire-rate table: a trained checkpoint at init-scale
+    drift fires 188k-257k taps at r=5, far over any static default)."""
+    import jax as _jax
+
+    _, state = model.apply(
+        params, batch_inputs, img_masks, mutable=["intermediates"]
+    )
+    # every sown leaf in "intermediates" is a sampling_coords capture; they
+    # come in (xy, attn) pairs, each (layers, bs, K, C) from the scanned
+    # encoder (decoder MSDA does not sow — it runs the gather fallback)
+    coords = [np.asarray(v) for v in _jax.tree.leaves(state["intermediates"])]
+    assert coords and len(coords) % 2 == 0, "no sampling_coords captured"
+    H, W = batch_inputs.shape[1], batch_inputs.shape[2]  # NHWC
+    strides = (4, 8, 16, 32, 64)
+    spatial_shapes = tuple((-(-H // s), -(-W // s)) for s in strides)
+    mc = model.cfg.head.transformer.encoder_layer.attn
+    h_, L_, P_ = mc.num_heads, mc.num_levels, mc.num_points
+    xs, ys, ws = [], [], []
+    for xy, attn in zip(coords[0::2], coords[1::2]):
+        K = xy.shape[-2]
+        HLP = h_ * L_ * P_
+        # the packed pipeline pads the channel axis to a lane-tile multiple
+        flat = xy[..., : 2 * HLP].reshape(-1, K, 2, HLP)  # [x | y] blocks
+        x = flat[:, :, 0, :].reshape(-1, K, h_, L_, P_).transpose(0, 2, 3, 4, 1)
+        y = flat[:, :, 1, :].reshape(-1, K, h_, L_, P_).transpose(0, 2, 3, 4, 1)
+        w = (
+            attn[..., :HLP].reshape(-1, K, h_, L_, P_).transpose(0, 2, 3, 4, 1)
+        )
+        xs.append(x)
+        ys.append(y)
+        ws.append(w)
+    return suggest_correction(
+        spatial_shapes,
+        np.concatenate(xs, 0),
+        np.concatenate(ys, 0),
+        np.concatenate(ws, 0),
+        radii=radii,
+        safety=safety,
+    )
+
+
 def synthetic_trained_offsets(
     spatial_shapes: Shapes,
     *,

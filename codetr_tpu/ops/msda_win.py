@@ -123,22 +123,33 @@ def _win_geometry(
     """((tile_h, tile_w), per-target-level (WinH, WinW)) for query level lq.
 
     Mosaic alignment: the value's W axis is the sublane dim, so W-window
-    slices must have 8-aligned start and extent.  WinW is padded to cover
-    the worst-case 7-px loss from flooring the start to a multiple of 8,
-    then rounded up to 8; the level's W itself is zero-padded to a multiple
-    of 8 by the wrapper (padded cells read zeros == grid_sample's zeros
-    padding, so exactness is unaffected).  The H axis is untiled — WinH and
-    wy0 stay free."""
+    slices must have 8-aligned start and extent.  The x start is floored to
+    a multiple of 8; the alignment loss is a STATIC per-tile quantity, so
+    WinW is padded by the exact maximum loss over the tile row (round-5
+    attack B) instead of the worst-case 7 — on 8-aligned projections
+    (e.g. lq0 onto the two finest levels) the loss is a constant 3, which
+    shrinks the hottest windows 40->32 and 32->24 of x extent.  The
+    level's W itself is zero-padded to a multiple of 8 by the wrapper
+    (padded cells read zeros == grid_sample's zeros padding, so exactness
+    is unaffected).  The H axis is untiled — WinH and wy0 stay free."""
     Hq, Wq = spatial_shapes[lq]
     th, tw = _tile_shape_for_level(lq, len(spatial_shapes))
+    ntx = -(-Wq // tw)
     win = []
     for Ht, Wt in spatial_shapes:
         # a tile spans th query px -> ~th * Ht/Hq target px (ceil for
         # off-by-rounding pyramid tails)
         span_y = -(-th * Ht // Hq)
         span_x = -(-tw * Wt // Wq)
+        # exact max floor-to-8 loss of the unclamped x start over all tile
+        # indices (same integer formula as _win_start_x; clamped windows
+        # only ever cover MORE of the needed range and raise edge flags)
+        maxloss = 0
+        for tx in range(ntx):
+            s_un = (tx * tw * Wt) // Wq - radius
+            maxloss = max(maxloss, s_un - (s_un // 8) * 8)
         win_h = int(min(Ht, span_y + 2 * radius + 2))
-        win_w = int(min(_rup8(Wt), _rup8(span_x + 2 * radius + 2 + 7)))
+        win_w = int(min(_rup8(Wt), _rup8(span_x + 2 * radius + 2 + maxloss)))
         win.append((win_h, win_w))
     return (th, tw), tuple(win)
 
@@ -192,6 +203,13 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
     the lanes makes every dot full-width.  The (d, NQ) accumulators are
     transposed back once per tile at the end.
 
+    dot_mode "dh4" (round-5 attack C): the round-4 "dotfull" A/B showed the
+    per-head 32-of-256 lane slice dominates the dot stage (a full-slab dot
+    at 8x the MACs was FASTER than the sliced dq dots).  dh4 dots each
+    head's S3 against the head's 128-lane-ALIGNED group slice of the slab
+    (4 heads at d=32) — a free lane-tile slice, 4x the MACs of dq, half of
+    dotfull's — and extracts the head's d rows by a free sublane slice.
+
     Splat precision: the hats are evaluated in f32 on the SMALL separable
     planes (coordinates up to ~hundreds of cells would lose their fraction
     in bf16), then cast to the VALUE dtype for the expansion into the
@@ -216,6 +234,8 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
     # HIGHEST splits f32 mantissas into multiple bf16 passes for exact-f32
     # dots; bf16 operands need no splitting, so production cost is unchanged.
     prec = jax.lax.Precision.HIGHEST if vdtype == jnp.float32 else None
+    if dot_mode == "dh4" and (HD % 128 or 128 % d):
+        dot_mode = "dq"  # group slices need whole 128-lane tiles
     acc_shape = (NQ, d) if dot_mode == "qd" else (d, NQ)
     accs = [jnp.zeros(acc_shape, jnp.float32) for _ in range(h)]
     cnt = jnp.zeros((1, NQ), jnp.float32)
@@ -337,17 +357,23 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                         preferred_element_type=jnp.float32,
                         precision=prec,
                     )
-                else:  # dq / dqp / debug stages reduce to dq when chunked
-                    lhs = (
-                        slab_t[hh][r0:r1] if dot_mode == "dqp"
-                        else slab[r0:r1, hh * d : (hh + 1) * d]
-                    )
-                    accs[hh] = accs[hh] + jax.lax.dot_general(
+                else:  # dq / dqp / dh4 / debug stages reduce to dq when chunked
+                    if dot_mode == "dh4":
+                        g0 = (hh * d) // 128 * 128
+                        lhs = slab[r0:r1, g0 : g0 + 128]
+                    elif dot_mode == "dqp":
+                        lhs = slab_t[hh][r0:r1]
+                    else:
+                        lhs = slab[r0:r1, hh * d : (hh + 1) * d]
+                    res = jax.lax.dot_general(
                         lhs, seg,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                         precision=prec,
                     )
+                    if dot_mode == "dh4":
+                        res = res[hh * d - g0 : hh * d - g0 + d, :]
+                    accs[hh] = accs[hh] + res
             if S3 is None:
                 continue  # chunked: dots already accumulated
             if _DEBUG_STAGE == "nodot":
@@ -364,7 +390,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     S3.reshape(cells, NQ).astype(vdtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                        precision=prec,
+                    precision=prec,
                 )  # (HD, NQ)
                 accs[hh] = accs[hh] + full[hh * d : (hh + 1) * d, :]
             elif dot_mode == "stack":
@@ -375,15 +401,25 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     S3.reshape(cells, NQ).astype(vdtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                        precision=prec,
+                    precision=prec,
                 )
+            elif dot_mode == "dh4":
+                g0 = (hh * d) // 128 * 128
+                grp = jax.lax.dot_general(
+                    slab[:, g0 : g0 + 128],
+                    S3.reshape(cells, NQ).astype(vdtype),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # (128, NQ); the head's d rows are a free sublane slice
+                accs[hh] = accs[hh] + grp[hh * d - g0 : hh * d - g0 + d, :]
             elif dot_mode == "dq":
                 accs[hh] = accs[hh] + jax.lax.dot_general(
                     slab[:, hh * d : (hh + 1) * d],
                     S3.reshape(cells, NQ).astype(vdtype),
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                        precision=prec,
+                    precision=prec,
                 )
             else:
                 accs[hh] = accs[hh] + jax.lax.dot_general(
@@ -391,7 +427,7 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                     slab[:, hh * d : (hh + 1) * d],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                        precision=prec,
+                    precision=prec,
                 )
         if dot_mode == "stack":
             # ONE MXU dot per level: (cells, HD)^T-contract-(cells, h*NQ);
@@ -403,13 +439,13 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                 slab, S_big,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                        precision=prec,
+                precision=prec,
             )  # (HD, h*NQ)
             for hh in range(h):
                 accs[hh] = accs[hh] + full[
                     hh * d : (hh + 1) * d, hh * NQ : (hh + 1) * NQ
                 ]
-    if dot_mode in ("dq", "dqp", "stack"):
+    if dot_mode in ("dq", "dqp", "dh4", "stack"):
         accs = [a.T for a in accs]
     out = jnp.concatenate(accs, axis=1)  # (NQ, h*d)
     if HD != h * d:  # caller 128-padded the lane dim
@@ -447,7 +483,7 @@ def msda_win_lq(
     num_heads: int,
     head_dim: int,
     interpret: bool = False,
-    dot_mode: str = "dq",
+    dot_mode: str = "dh4",
 ):
     """One query level's windowed MSDA: returns ``(out, n_out)`` where out is
     (bs, Hq*Wq, HD) fp32 (HD = num_heads * head_dim, possibly 128-padded by
@@ -585,7 +621,7 @@ def msda_win_lq_packed(
     head_dim: int,
     num_points: int,
     interpret: bool = False,
-    dot_mode: str = "dq",
+    dot_mode: str = "dh4",
 ):
     """Packed-coordinate twin of ``msda_win_lq`` — the round-3 production
     encoder entry.  The caller keeps coordinates Q-MAJOR, packed on the
@@ -751,7 +787,7 @@ def msda_win_qm_packed(
     radius: int = 4,
     interpret: bool = False,
     with_count: bool = False,
-    dot_mode: str = "dq",
+    dot_mode: str = "dh4",
 ):
     """Packed-coordinate windowed MSDA over all query levels; semantics
     identical to ``msda_win_qm`` (exact inside ``win_envelope_mask``'s
@@ -879,7 +915,7 @@ def msda_win_qm(
     radius: int = 4,
     interpret: bool = False,  # CPU/pallas-interpreter path for tests
     with_count: bool = False,
-    dot_mode: str = "dq",
+    dot_mode: str = "dh4",
 ):
     """Grid-query MSDA via the windowed splat-matmul kernel; q-minor
     coordinate layout, exact (grid_sample bilinear/zeros semantics) for taps

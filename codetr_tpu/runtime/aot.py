@@ -41,6 +41,8 @@ def compile_forward(
     dtype=jnp.float32,
     donate_inputs: bool = False,
     split: bool = False,
+    fuse_preprocess: bool = False,
+    preprocess_cfg=None,
 ):
     """jit + AOT-lower the model forward at a fixed static shape
     (the reference fixes shapes too: export.py:278-296, README.md:173-174).
@@ -52,7 +54,42 @@ def compile_forward(
     executables and chains them (async dispatch, no intermediate sync) — the
     monolithic Swin-L graph exceeds the remote AOT compile transport's
     limits; the pieces also cache independently.
+
+    fuse_preprocess=True changes the calling convention to the fused-serving
+    form (north-star: preprocessing on device; the reference must run it on
+    host before TRT, export.py:110-129): compiled_fn(canvas_u8 (bs,H,W,3)
+    uint8, thw (bs,2) int32) runs normalize+pad+mask INSIDE the graph
+    (utils/preprocess.preprocess_in_graph) before the model.
     """
+    if fuse_preprocess:
+        from codetr_tpu.utils.preprocess import preprocess_in_graph
+
+        if preprocess_cfg is None:
+            from codetr_tpu.config import PreprocessConfig
+
+            preprocess_cfg = PreprocessConfig()
+        mean, std = tuple(preprocess_cfg.mean), tuple(preprocess_cfg.std)
+        example = (
+            jnp.zeros((batch_size, height, width, 3), jnp.uint8),
+            jnp.broadcast_to(
+                jnp.asarray((height, width), jnp.int32), (batch_size, 2)
+            ),
+        )
+        params = jax.device_put(params)
+
+        def apply_fused(p, canvas_u8, thw):
+            x, m = preprocess_in_graph(canvas_u8, thw, mean=mean, std=std)
+            return model.apply(p, x.astype(dtype), m)
+
+        jitted_f = jax.jit(apply_fused)
+
+        def fwd_fused(canvas_u8, thw):
+            return jitted_f(params, canvas_u8, thw)
+
+        fwd_fused.bound = (jitted_f, params)  # type: ignore[attr-defined]
+        fwd_fused.fused_apply = apply_fused  # type: ignore[attr-defined]
+        return fwd_fused, example
+
     example = (
         jnp.zeros((batch_size, height, width, 3), dtype),
         jnp.zeros((batch_size, height, width), jnp.float32),

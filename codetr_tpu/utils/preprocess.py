@@ -7,17 +7,19 @@ unpadded region, 1 in padding; C++ twin at codetr_inference.cpp:31-81).
 Two paths:
 - ``preprocess_numpy``: host-side (cv2 bilinear resize like mmcv), for the
   Inferencer CLI.
-- ``preprocess_device``: device-side jittable resize+normalize+pad for a
-  fixed target shape, fusing preprocessing into the compiled graph (the
-  reference must do this outside TRT; on TPU we can keep it on-device).
+- ``preprocess_in_graph``: device-side jittable normalize+pad+mask at the
+  FIXED serving shape, fusing preprocessing into the compiled graph (the
+  reference must do this outside TRT, export.py:110-129; on TPU the
+  serialized executable can accept uint8 directly).  The keep-ratio
+  bilinear resize itself stays on host (cv2): its output shape is
+  data-dependent per image, and a per-image-shape device resize would
+  retrace the fixed-shape executable — the wrong trade for serving.
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -59,40 +61,53 @@ def preprocess_numpy(
     return out, mask, scale_factor, (th, tw)
 
 
-@partial(jax.jit, static_argnames=("height", "width", "mean", "std"))
-def _normalize_pad(image, th, tw, *, height, width, mean, std):
+def preprocess_in_graph(canvas_u8, thw, *, mean, std):
+    """Traceable device-side normalize+pad+mask (north-star: preprocessing
+    fused into the compiled graph; the executable accepts uint8 images).
+
+    Args:
+      canvas_u8: (bs, height, width, 3) uint8 RGB — each image cv2-resized
+        on host (keep-ratio) and placed top-left on the fixed canvas; bytes
+        outside the (th, tw) valid region are arbitrary (masked here).
+      thw: (bs, 2) int32 valid (th, tw) per image.
+      mean/std: PreprocessConfig channel stats (python tuples or arrays).
+
+    Returns (inputs (bs, H, W, 3) float32, mask (bs, H, W) float32) —
+    bit-identical semantics to preprocess_numpy's normalize+pad+mask step
+    (same f32 formula, zeros outside, mask 1 in padding).
+    """
     mean = jnp.asarray(mean, jnp.float32)
     std = jnp.asarray(std, jnp.float32)
-    norm = (image.astype(jnp.float32) - mean) / std
-    row = jnp.arange(height)[:, None]
-    col = jnp.arange(width)[None, :]
-    inside = (row < th) & (col < tw)
-    return jnp.where(inside[..., None], norm, 0.0), 1.0 - inside.astype(jnp.float32)
+    _, height, width, _ = canvas_u8.shape
+    norm = (canvas_u8.astype(jnp.float32) - mean) / std
+    row = jnp.arange(height)[None, :, None]
+    col = jnp.arange(width)[None, None, :]
+    inside = (row < thw[:, 0][:, None, None]) & (col < thw[:, 1][:, None, None])
+    return (
+        jnp.where(inside[..., None], norm, 0.0),
+        1.0 - inside.astype(jnp.float32),
+    )
 
 
-def preprocess_device(
+def resize_to_canvas(
     image_rgb: np.ndarray,
     height: int,
     width: int,
-    cfg: PreprocessConfig = PreprocessConfig(),
     keep_ratio: bool = True,
 ):
-    """Device-side variant: bilinear resize via jax.image.resize, then a
-    jitted normalize+pad+mask.  Returns the same tuple as preprocess_numpy.
+    """Host half of the fused path: cv2 keep-ratio resize onto a fixed uint8
+    canvas.  Returns (canvas (height, width, 3) uint8, (th, tw) int,
+    scale_factor (w_scale, h_scale)) — feed canvas+thw to a graph that
+    starts with preprocess_in_graph."""
+    import cv2
 
-    The resize itself happens at the resized static shape (per-image trace);
-    for the fixed-shape serving path prefer resizing on host (cv2) and keeping
-    normalize+pad on device.
-    """
     oh, ow = image_rgb.shape[:2]
     if keep_ratio:
         tw, th = rescale_size(ow, oh, width, height)
     else:
         tw, th = width, height
-    img = jnp.asarray(image_rgb, jnp.float32)
-    resized = jax.image.resize(img, (th, tw, 3), method="linear")
-    canvas = jnp.zeros((height, width, 3), jnp.float32).at[:th, :tw].set(resized)
-    out, mask = _normalize_pad(
-        canvas, th, tw, height=height, width=width, mean=tuple(cfg.mean), std=tuple(cfg.std)
+    canvas = np.zeros((height, width, 3), np.uint8)
+    canvas[:th, :tw] = cv2.resize(
+        image_rgb, (tw, th), interpolation=cv2.INTER_LINEAR
     )
-    return out, mask, (tw / ow, th / oh), (th, tw)
+    return canvas, (th, tw), (tw / ow, th / oh)

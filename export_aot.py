@@ -39,6 +39,11 @@ def parse_args():
     ap.add_argument("--score-threshold", type=float, default=0.0)  # test_cfg score_thr
     ap.add_argument("--iou-threshold", type=float, default=0.8)  # test_cfg[0].nms iou
     ap.add_argument("--msda-impl", default="auto")
+    ap.add_argument("--fuse-preprocess", action="store_true",
+                    help="serialize the fused-serving form: the executable "
+                    "accepts (uint8 canvas, (th,tw) int32) and runs "
+                    "normalize+pad+mask inside the graph (the reference "
+                    "must preprocess on host before TRT, export.py:110-129)")
     ap.add_argument("--skip-benchmark", action="store_true")
     return ap.parse_args()
 
@@ -71,18 +76,24 @@ def main():
     fn, example = compile_forward(
         model, params, height=args.height, width=args.width,
         batch_size=args.batch_size, dtype=dtype,
+        fuse_preprocess=args.fuse_preprocess, preprocess_cfg=cfg.preprocess,
     )
 
     # serialized-executable path (engine save/load analog, export.py:320-334).
     # Weights ship as a companion blob + module ARGUMENT: baked-constant
     # modules (~900MB for Swin-L) exceed the remote AOT compile transport.
     exe_path = os.path.join(args.output, "codetr.codetr.xla")
+    export_fn = (
+        fn.fused_apply if args.fuse_preprocess
+        else (lambda p, x, m: model.apply(p, x, m))
+    )
     save_executable(
-        exe_path, lambda p, x, m: model.apply(p, x, m), example, params=params,
+        exe_path, export_fn, example, params=params,
         meta={
             "config": args.config, "dtype": args.dtype,
             "height": args.height, "width": args.width,
             "batch_size": args.batch_size,
+            "fused_preprocess": args.fuse_preprocess,
         })
     print(f"saved executable: {exe_path} ({os.path.getsize(exe_path)/1e6:.1f} MB)")
 
@@ -103,6 +114,7 @@ def main():
             model, params, cfg, height=args.height, width=args.width,
             score_threshold=args.score_threshold, iou_threshold=args.iou_threshold,
             compiled_fn=loaded, input_dtype=dtype,
+            device_preprocess=args.fuse_preprocess,
         )
         dets = inf([img])
         n = int(dets[0].keep.sum())

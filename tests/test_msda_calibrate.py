@@ -74,3 +74,23 @@ def test_correction_tiers_exact(budget):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
     )
+
+
+def test_calibrate_model_end_to_end():
+    """Checkpoint-day calibration path: build the tiny model, capture the
+    REAL encoder sampling coordinates via the sow hook, and get a plan."""
+    from codetr_tpu.config import tiny_test_config
+    from codetr_tpu.models.codetr import build_codetr
+    from codetr_tpu.ops.msda_calibrate import calibrate_model
+
+    cfg = tiny_test_config()
+    model, params = build_codetr(cfg, msda_impl="reference", input_shape=(64, 64))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
+                    jnp.float32) * 0.1
+    m = jnp.zeros((1, 64, 64), jnp.float32)
+    plan = calibrate_model(model, params, x, m, radii=(3, 5))
+    assert plan.radius in (3, 5)
+    assert plan.budget >= 4096
+    assert set(plan.fire_rate) == {3, 5}
+    # init-like offsets: radius 5 must fire (almost) nothing more than r3
+    assert plan.fire_rate[5] <= plan.fire_rate[3]

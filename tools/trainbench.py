@@ -112,6 +112,8 @@ def main():
         ev = float(jnp.abs(gv_p - gv_o).max()) / sv
         ec = float(jnp.abs(gc_p - gc_o).max()) / sc
         print(json.dumps({"gradcheck": {
+            "resolution": [GH, GW],
+            "spatial_shapes": [list(s) for s in shapes],
             "out_max_err": err_out, "grad_value_rel": ev,
             "grad_coords_rel": ec,
             "pass": bool(err_out < 2e-4 and ev < 1e-4 and ec < 1e-4),

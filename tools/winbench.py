@@ -39,7 +39,7 @@ def main():
     ap.add_argument("--tiles", nargs="*", default=[],
                     help="per-lq tile overrides, e.g. 2=8,16")
     ap.add_argument("--dot-mode", default="dq",
-                choices=["dq", "qd", "dqp", "stack"])
+                choices=["dq", "qd", "dqp", "stack", "dh4"])
     ap.add_argument("--debug-stage", default="",
                     help="MSDA_WIN_DEBUG value (set before kernel import)")
     ap.add_argument("--iters", type=int, default=5)
