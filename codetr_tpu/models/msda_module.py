@@ -79,6 +79,7 @@ class MultiScaleDeformableAttention(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,  # (bs, nk) True = pad
         reference_points: Optional[jax.Array] = None,  # (bs, nq, L, 2|4)
         spatial_shapes: Tuple[Tuple[int, int], ...] = (),
+        raw_table: Optional[jax.Array] = None,  # (bs*R, 4*Cm) shared corner table
     ) -> jax.Array:
         c = self.cfg
         if value is None:
@@ -94,10 +95,19 @@ class MultiScaleDeformableAttention(nn.Module):
 
         dense = lambda feats, name: nn.Dense(feats, dtype=self.dtype, param_dtype=jnp.float32, name=name)
         value_proj_size = int(c.embed_dims * c.value_proj_ratio)
-        v = dense(value_proj_size, "value_proj")(value)
-        if key_padding_mask is not None:
-            v = jnp.where(key_padding_mask[..., None], 0.0, v)
-        v = v.reshape(bs, num_value, c.num_heads, value_proj_size // c.num_heads)
+        # decoder raw-table path (ops/msda_dectab.py): the shared corner
+        # table replaces the per-layer value projection + gather — the
+        # projection is applied AFTER interpolation (linearity), so v is
+        # only materialized on the non-table paths.
+        use_table = (
+            raw_table is not None and not self.grid_queries
+            and self.impl == "auto"
+        )
+        if not use_table:
+            v = dense(value_proj_size, "value_proj")(value)
+            if key_padding_mask is not None:
+                v = jnp.where(key_padding_mask[..., None], 0.0, v)
+            v = v.reshape(bs, num_value, c.num_heads, value_proj_size // c.num_heads)
 
         raw_offsets = nn.Dense(
             c.num_heads * c.num_levels * c.num_points * 2,
@@ -249,8 +259,36 @@ class MultiScaleDeformableAttention(nn.Module):
         else:
             raise ValueError(f"reference_points last dim must be 2 or 4, got {reference_points.shape[-1]}")
 
-        out = multi_scale_deformable_attention(
-            v, spatial_shapes, loc, attn, impl=self.impl, grid_queries=False,
-        )
+        if use_table:
+            # one gathered row per tap from the shared raw-memory corner
+            # table, then THIS layer's value_proj applied to the tiny
+            # interpolated result: out_h = W_h @ interp_h + b_h * wsum_h
+            # (wsum = interpolated unmasked-indicator channel, so the bias
+            # drops at out-of-image corners and masked keys exactly like the
+            # reference's masked_fill-after-proj).
+            from codetr_tpu.ops.msda_dectab import msda_from_raw_table
+
+            interp = msda_from_raw_table(
+                raw_table, spatial_shapes, loc, attn.astype(jnp.float32)
+            )  # (bs, nq, h, Cm) f32
+            cin = interp.shape[-1] - 1
+            feats = interp[..., :cin].astype(self.dtype)
+            wsum = interp[..., cin]
+            vp = dense(value_proj_size, "value_proj")
+            dh = value_proj_size // c.num_heads
+            full = vp(feats).reshape(bs, num_query, c.num_heads, c.num_heads, dh)
+            # head h of the output only needs W's columns for head h — take
+            # the (h, h) diagonal blocks of the redundant full projection
+            # (8x the MACs of the exact slice einsum, still ~1 GFLOP)
+            outh = jnp.moveaxis(jnp.diagonal(full, axis1=2, axis2=3), -1, 2)
+            bias = vp(jnp.zeros((cin,), self.dtype))  # (value_proj_size,)
+            outh = outh + bias.reshape(c.num_heads, dh) * (
+                wsum[..., None].astype(self.dtype) - 1.0
+            )
+            out = outh.reshape(bs, num_query, value_proj_size)
+        else:
+            out = multi_scale_deformable_attention(
+                v, spatial_shapes, loc, attn, impl=self.impl, grid_queries=False,
+            )
         out = dense(c.embed_dims, "output_proj")(out)
         return out + identity

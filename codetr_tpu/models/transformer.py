@@ -168,7 +168,8 @@ class DetrTransformerDecoderLayer(nn.Module):
     msda_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, carry, reg_slice, rph_tree, memory, key_padding_mask, vr4):
+    def __call__(self, carry, reg_slice, rph_tree, memory, key_padding_mask,
+                 vr4, raw_table):
         query, reference_points = carry  # (bs,nq,C), (bs,nq,4) fp32 unactivated
         c = self.cfg
 
@@ -195,6 +196,7 @@ class DetrTransformerDecoderLayer(nn.Module):
             key_padding_mask=key_padding_mask,
             reference_points=ref_input.astype(self.dtype),
             spatial_shapes=self.spatial_shapes,
+            raw_table=raw_table,
         )
         query = layer_norm(query, dtype=self.dtype, name="norm2")
         query = FFN(
@@ -241,6 +243,23 @@ class DinoTransformerDecoder(nn.Module):
         )()
         vr4 = jnp.concatenate([valid_ratios, valid_ratios], axis=-1)  # (bs, L, 4)
 
+        # shared raw-memory corner table for the 6 layers' cross-attention
+        # (ops/msda_dectab.py): built ONCE outside the scan; each layer
+        # gathers 1 row/tap and applies its own value_proj afterward.
+        raw_table = None
+        if self.msda_impl == "auto":
+            from codetr_tpu.ops.msda_dectab import build_raw_quad_table
+
+            mem_t = memory.astype(self.dtype)
+            if key_padding_mask is not None:
+                unmask = 1.0 - key_padding_mask.astype(self.dtype)
+                mem_z = mem_t * unmask[..., None]
+            else:
+                unmask = jnp.ones(mem_t.shape[:2], self.dtype)
+                mem_z = mem_t
+            mem_aug = jnp.concatenate([mem_z, unmask[..., None]], axis=-1)
+            raw_table = build_raw_quad_table(mem_aug, spatial_shapes)
+
         ScanDecoder = nn.scan(
             DetrTransformerDecoderLayer,
             # "intermediates" rides the scan axis so MSDA sampling-coord
@@ -248,7 +267,8 @@ class DinoTransformerDecoder(nn.Module):
             # stack per-layer; inert unless apply() makes it mutable
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
-            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
             length=c.num_decoder_layers,
         )
         (output, reference_points), (inter_states, inter_refs) = ScanDecoder(
@@ -264,6 +284,7 @@ class DinoTransformerDecoder(nn.Module):
             memory,
             key_padding_mask,
             vr4,
+            raw_table,
         )
 
         # the shared final LayerNorm is applied to every intermediate state

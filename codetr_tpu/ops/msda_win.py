@@ -59,6 +59,13 @@ _DEBUG_STAGE = _os.environ.get("MSDA_WIN_DEBUG", "")
 # corner-table build) | "pair" (2 rows/tap, cheap 2-roll table) |
 # "reference" (4 rows/tap, free view table) — A/B knob; see ROUND4_NOTES.md
 _COARSE_IMPL = _os.environ.get("MSDA_WIN_COARSE", "pair")
+# coarse-query-level ROUTING (round-5): "win" sends lq3/lq4 through the
+# windowed kernel with row-tiles (NQ 32/16 — lane-padded, but the whole
+# level is <2% of queries while its pair gather measured 19+6 ms @1920 vs
+# ~4+4 windowed); "gather" restores the round-4 fallback tiles.  The same
+# tile decision drives the forward dispatch, win_envelope_mask, and the
+# fused backward (all route on th*tw >= 16).
+_COARSE_TILES = _os.environ.get("MSDA_WIN_COARSE_TILES", "win")
 # "auto" (default): splat planes in the value dtype; "f32": force the
 # round-3 f32 splat build (A/B attribution only)
 _SPLAT_DTYPE = _os.environ.get("MSDA_WIN_SPLAT", "auto")
@@ -108,9 +115,20 @@ def _tile_shape_for_level(lq: int, num_levels: int) -> Tuple[int, int]:
         # (29.3 MB measured), so _splat_tile chunks the expansion on the
         # window's y axis (_CHUNK_BYTES), bounding the live set.
         return (8, 16)
+    if _COARSE_TILES == "gather":
+        # round-4 fallback routing: <16-query tiles mark the level for the
+        # exact whole-table gather (_coarse_fallback)
+        return (4, 2) if lq == 3 else (2, 2)
+    # round-5: windowed row-tiles.  NQ (64 / 32) lane-pads 2-4x in the splat
+    # planes, but the level's window cells are small (the tile spans few
+    # query px) and the alternative is the 75-85M rows/s gather ceiling:
+    # pair-gather measured 19.0 (lq3) + 11.7 (lq4) ms standalone @1920x1280
+    # vs 6.5 + 6.3 windowed (canary ~6.3-7, round-5 session 2; the
+    # (4,8)/(2,8) tile variant measured the same within noise — the bigger
+    # tiles halve the lane waste but double the window rows).
     if lq == 3:
-        return (4, 2)
-    return (2, 2)
+        return (8, 8)
+    return (4, 8)
 
 
 def _rup8(n: int) -> int:
@@ -306,12 +324,16 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
                 yp = yb[c : c + 1, :] * Ht - 0.5 - wy0f
                 wp = wb[c : c + 1, :]
                 # in-envelope predicate on the (1, NQ) row — replaces
-                # the caller-side K-sized mask/where passes
+                # the caller-side K-sized mask/where passes.  STRICT < on
+                # the high side: a tap exactly at WinW-1 has an exact
+                # VALUE, but its one-sided gradient needs the WinW cell
+                # (outside the window) — route it to the correction
+                # (win_envelope_mask matches; round-5 kink-convention fix)
                 ok = (
                     ((xp >= 0) | x_lo)
-                    & ((xp <= WinW - 1) | x_hi)
+                    & ((xp < WinW - 1) | x_hi)
                     & ((yp >= 0) | y_lo)
-                    & ((yp <= WinH - 1) | y_hi)
+                    & ((yp < WinH - 1) | y_hi)
                 )
                 wp = jnp.where(ok, wp, 0.0)
                 cnt = cnt + jnp.where(
@@ -332,7 +354,9 @@ def _splat_tile(xb, yb, wb, slabs, copies, starts, *, spatial_shapes, win,
             # (8,16) geometry) — bounding the PLANE size is what bounds the
             # stack.  The dot is linear in S, so per-chunk dots against the
             # matching slab rows accumulate exactly.
-            ch_rows = max(1, _CHUNK_BYTES // (WinW * NQ * 4))
+            # lanes pad to the 128 tile: a (ch, WinW, NQ<128) plane occupies
+            # ch*WinW*128 vregs regardless of NQ (coarse-level tiles)
+            ch_rows = max(1, _CHUNK_BYTES // (WinW * max(NQ, 128) * 4))
             chunks = (
                 [(0, WinH)] if ch_rows >= WinH or dot_mode in ("stack",)
                 else [
@@ -895,8 +919,11 @@ def win_envelope_mask(
             x_edge_hi = jnp.asarray(np.tile(wx0 + WinW >= Wt, Hq))
             yp = yq[:, :, lt] * Ht - 0.5  # (bs, h, P, Kq)
             xp = xq[:, :, lt] * Wt - 0.5
-            ok_y = ((yp >= y0) | y_edge_lo) & ((yp <= y0 + (WinH - 1)) | y_edge_hi)
-            ok_x = ((xp >= x0) | x_edge_lo) & ((xp <= x0 + (WinW - 1)) | x_edge_hi)
+            # strict < on the high side: must match the in-kernel predicate
+            # (one-sided gradient needs the cell beyond an exact-integer
+            # tap at the window's last row/col — round-5 kink fix)
+            ok_y = ((yp >= y0) | y_edge_lo) & ((yp < y0 + (WinH - 1)) | y_edge_hi)
+            ok_x = ((xp >= x0) | x_edge_lo) & ((xp < x0 + (WinW - 1)) | x_edge_hi)
             lvl_masks.append(ok_y & ok_x)
         parts.append(jnp.stack(lvl_masks, axis=2))  # (bs, h, L, P, Kq)
     return jnp.concatenate(parts, axis=4)

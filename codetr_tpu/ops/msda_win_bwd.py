@@ -185,25 +185,44 @@ def msda_win_lq_packed_bwd(
                     yp = yb[c : c + 1, :] * Ht - 0.5 - wy0f
                     ok = (
                         ((xp >= 0) | x_lo)
-                        & ((xp <= WinW - 1) | x_hi)
+                        & ((xp < WinW - 1) | x_hi)
                         & ((yp >= 0) | y_lo)
-                        & ((yp <= WinH - 1) | y_hi)
+                        & ((yp < WinH - 1) | y_hi)
                     )
                     okf = ok.astype(jnp.float32)
                     wp = wb[c : c + 1, :] * okf
                     hx = jnp.maximum(0.0, 1.0 - jnp.abs(ioW - xp))  # (WinW,NQ)
                     hy0 = jnp.maximum(0.0, 1.0 - jnp.abs(ioH - yp))  # (WinH,NQ)
-                    # hat derivatives on the open support (sub-gradient 0 at
-                    # the kinks — same choice XLA's AD makes for |.|)
-                    dhx = jnp.where(hx > 0, jnp.sign(ioW - xp), 0.0)
-                    dhy = jnp.where(hy0 > 0, jnp.sign(ioH - yp), 0.0)
+                    # ONE-SIDED hat derivatives matching grid_sample's
+                    # floor-based lerp AD (the oracle's and the reference
+                    # CUDA backward's convention): with u = tap - cell, the
+                    # corner weight's derivative is -1 on u in [0, 1) and
+                    # +1 on [-1, 0).  The round-4 form sign(cell - tap)
+                    # gated on hat > 0 agreed everywhere EXCEPT taps
+                    # sitting exactly on a grid line (u = 0: sign gives 0,
+                    # and the u = -1 neighbor is dropped by the open gate)
+                    # — which real inputs hit (init offsets are integer px;
+                    # f32 coordinate math lands on integers), measured as a
+                    # deterministic 0.197-rel grad_coords error on chip
+                    # (round-5 session 2 gcdbg: got 0.0, want v_{t+1}-v_t).
+                    ux = xp - ioW  # (WinW, NQ)
+                    uy = yp - ioH  # (WinH, NQ)
+                    dhx = jnp.where(
+                        (ux >= -1.0) & (ux < 1.0),
+                        jnp.where(ux >= 0.0, -1.0, 1.0), 0.0,
+                    )
+                    dhy = jnp.where(
+                        (uy >= -1.0) & (uy < 1.0),
+                        jnp.where(uy >= 0.0, -1.0, 1.0), 0.0,
+                    )
                     taps.append((c, okf, wp, hx, hy0, dhx, dhy))
                 # ...then the full-plane work, CHUNKED on the window's y
                 # axis like the forward (same scoped-vmem stack rationale:
                 # Mosaic keeps many pipelined product planes live; bounding
                 # the plane size bounds the stack).  A and Ap row-partition
                 # across chunks; dw/dy/dx accumulate their partial sums.
-                ch_rows = max(1, _CHUNK_BYTES // (WinW * NQ * 4))
+                # lane padding: see the forward's ch_rows (NQ<128 tiles)
+                ch_rows = max(1, _CHUNK_BYTES // (WinW * max(NQ, 128) * 4))
                 acc_tap = {t[0]: None for t in taps}  # c -> (dw, dy, dx)
                 gv_parts = []
                 for c0 in range(0, WinH, ch_rows):

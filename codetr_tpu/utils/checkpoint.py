@@ -334,8 +334,12 @@ def _convert_head(tree: _ParamTree, sd, cfg: CoDETRConfig):
 
 
 def convert_state_dict(sd: Dict[str, np.ndarray], cfg: CoDETRConfig) -> Dict:
-    """mmdet CoDETR state_dict (numpy values) -> flax params pytree."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    """mmdet CoDETR state_dict (numpy values) -> flax params pytree.
+
+    ``sd`` is used as-is (no copy): load_torch_checkpoint passes a
+    read-tracking dict so its load report can list unconsumed keys —
+    rebuilding the dict here silently detached that tracking (the report
+    then claimed "loaded 0 params" for every checkpoint)."""
     tree = _ParamTree()
     if cfg.backbone_type == "swin":
         _convert_swin(tree, sd, cfg)
