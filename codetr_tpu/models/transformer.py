@@ -224,6 +224,13 @@ class DinoTransformerDecoder(nn.Module):
     cfg: TransformerConfig
     dtype: jnp.dtype = jnp.float32
     msda_impl: str = "auto"
+    # shared raw-memory corner table for cross-attention: a measured
+    # NEGATIVE result at 1920x1280 (ROUND5_NOTES.md session 2: table build
+    # 11.3 ms + 7.9 ms/layer vs the pair gather's 5.1 ms/layer — raw
+    # interpolation fetches all 256 channels per tap where the per-head
+    # pair path fetches only that head's 32 projected channels).  Kept
+    # opt-in for future geometries; exact either way.
+    dectab: bool = False
 
     @nn.compact
     def __call__(
@@ -247,7 +254,7 @@ class DinoTransformerDecoder(nn.Module):
         # (ops/msda_dectab.py): built ONCE outside the scan; each layer
         # gathers 1 row/tap and applies its own value_proj afterward.
         raw_table = None
-        if self.msda_impl == "auto":
+        if self.dectab and self.msda_impl == "auto":
             from codetr_tpu.ops.msda_dectab import build_raw_quad_table
 
             mem_t = memory.astype(self.dtype)

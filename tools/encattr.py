@@ -263,6 +263,30 @@ def main():
         results["dmsda"] = time_fn(
             jax.jit(f_dmsda), (q900, query, ref900), "dmsda")
 
+    # --- dmsda_tab: decoder MSDA via the shared raw corner table
+    # (ops/msda_dectab.py) — dtab is the once-per-forward table build,
+    # dmsda_tab the per-layer cost (x6 layers amortizes dtab) ---
+    if want("dmsda_tab"):
+        from codetr_tpu.ops.msda_dectab import build_raw_quad_table
+
+        cfg = MSDAConfig(embed_dims=C, num_heads=h, num_levels=L, num_points=P)
+        mod = MultiScaleDeformableAttention(cfg=cfg, dtype=dtype, impl="auto")
+        ref900 = jnp.asarray(rng.uniform(0.1, 0.9, (1, 900, L, 2)), jnp.float32)
+        pmod = mod.init(jax.random.PRNGKey(11), q900, query, None, None,
+                        None, ref900, shapes)
+        mem_aug = jnp.concatenate(
+            [query, jnp.ones((1, K, 1), dtype)], axis=-1
+        )
+        tab_fn = jax.jit(lambda mm: build_raw_quad_table(mm, shapes))
+        results["dtab"] = time_fn(tab_fn, (mem_aug,), "dtab")
+        table = tab_fn(mem_aug)
+
+        def f_tab(q, tb, rf):
+            return mod.apply(pmod, q, query, None, None, None, rf, shapes, tb)
+
+        results["dmsda_tab"] = time_fn(
+            jax.jit(f_tab), (q900, table, ref900), "dmsda_tab")
+
     print(json.dumps({"K": K, "shapes": [list(s) for s in shapes],
                       "summary_best_sane_ms": results}), flush=True)
 
